@@ -1,0 +1,162 @@
+"""Sweeper base: SDC sweeps as pure, jittable functions.
+
+TPU-native redesign of the reference ``Sweeper`` (``pySDC/core/sweeper.py:33``)
+and its plugin protocol ``predict / update_nodes / integrate /
+compute_residual / compute_end_point`` (sweeper.py:125-233).  Differences by
+design:
+
+  - All node data lives in a single :class:`~pysdc_tpu.core.state.LevelState`
+    pytree (leading node axis) instead of lists of datatype objects.
+  - Sweeper methods are pure functions ``state -> state`` closed over the
+    (static) problem and the small dense coefficient matrices, so one jit
+    compiles the whole sweep — node loop unrolled, integrals as matmuls.
+  - Diagonal preconditioners (IEpar, MIN-SR-*) take a *batched* path: all M
+    implicit solves and RHS evaluations fuse into single vmapped calls —
+    the reference's MPI parallel-across-nodes sweeper
+    (generic_implicit_MPI.py:8) becomes free node parallelism on one chip.
+  - Sweep-index-dependent coefficients (MIN-SR-FLEX, reference
+    sweeper.py:262) enter as static arguments; XLA re-specializes per k.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pysdc_tpu.core.errors import ParameterError
+from pysdc_tpu.core.state import LevelState, f_total, norm_max
+from pysdc_tpu.ops.collocation import get_collocation
+from pysdc_tpu.ops.qdelta import is_diagonal, is_k_dependent, qdelta_explicit, qdelta_implicit
+
+RESIDUAL_TYPES = ('full_abs', 'last_abs', 'full_rel', 'last_rel')
+
+
+def _tensordot_nodes(W: np.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """(M, M) coefficient matrix applied along the node axis of (M, *shape).
+
+    The contraction is a small dense matmul on the node axis — exactly the
+    "collocation Q-matrix applied across nodes" op the north star asks to
+    batch; XLA maps it onto the MXU once spatial dims are large.
+    """
+    return jnp.tensordot(jnp.asarray(W, dtype=x.dtype), x, axes=(1, 0))
+
+
+class Sweeper:
+    """Base sweeper: collocation tables + predictor + residual machinery."""
+
+    #: set True by subclasses whose update_nodes decouples across nodes
+    parallelizable = False
+
+    def __init__(self, params: dict):
+        if 'num_nodes' not in params:
+            raise ParameterError(f"need 'num_nodes' to instantiate sweeper, only got {list(params)}")
+        self.params = dict(params)
+        self.coll = get_collocation(
+            params['num_nodes'],
+            params.get('node_type', 'LEGENDRE'),
+            params.get('quad_type', 'RADAU-RIGHT'),
+        )
+        self.initial_guess = params.get('initial_guess', 'spread')
+        if self.initial_guess not in ('spread', 'copy', 'zero', 'random'):
+            raise ParameterError(f'initial_guess option {self.initial_guess} not implemented')
+        self.random_seed = params.get('random_seed', 1984)
+        self._rng = np.random.RandomState(self.random_seed)
+        self.skip_residual_computation = tuple(params.get('skip_residual_computation', ()))
+
+        self.do_coll_update = params.get('do_coll_update', False)
+        if not self.coll.right_is_node and not self.do_coll_update:
+            # same auto-correction as reference sweeper.py:87-90
+            self.do_coll_update = True
+
+    # -- coefficient helpers -------------------------------------------
+    def get_Qdelta_implicit(self, qd_type: str, k: int | None = None) -> np.ndarray:
+        QD = qdelta_implicit(self.coll, qd_type, k=k)
+        if is_diagonal(QD):
+            self.parallelizable = True
+        return QD
+
+    def get_Qdelta_explicit(self, qd_type: str, k: int | None = None) -> np.ndarray:
+        QD = qdelta_explicit(self.coll, qd_type, k=k)
+        if is_diagonal(QD):
+            self.parallelizable = True
+        return QD
+
+    @property
+    def k_dependent(self) -> bool:
+        """True if any preconditioner coefficients change between sweeps."""
+        return any(is_k_dependent(self.params.get(name, '')) for name in ('QI', 'QE'))
+
+    def node_times(self, t, dt):
+        return t + dt * jnp.asarray(self.coll.nodes)
+
+    # -- protocol ------------------------------------------------------
+    def predict(self, prob, u0, t, dt, random_val: float = 0.0) -> LevelState:
+        """Initial guess at the collocation nodes (reference sweeper.py:125).
+
+        ``random_val`` carries the host-generated random fill value for the
+        'random' initial guess so the function itself stays pure.
+        """
+        M = self.coll.num_nodes
+        f0 = prob.eval_f(u0, t)
+        ts = self.node_times(t, dt)
+        if self.initial_guess == 'spread':
+            u_nodes = jnp.broadcast_to(u0, (M,) + u0.shape)
+            f_nodes = prob.eval_f_batched(u_nodes, ts)
+        elif self.initial_guess == 'copy':
+            u_nodes = jnp.broadcast_to(u0, (M,) + u0.shape)
+            f_nodes = jax.tree_util.tree_map(lambda leaf: jnp.broadcast_to(leaf, (M,) + leaf.shape), f0)
+        elif self.initial_guess == 'zero':
+            u_nodes = jnp.zeros((M,) + u0.shape, u0.dtype)
+            f_nodes = jax.tree_util.tree_map(lambda leaf: jnp.zeros((M,) + leaf.shape, leaf.dtype), f0)
+        else:  # random
+            u_nodes = jnp.full((M,) + u0.shape, random_val, u0.dtype)
+            f_nodes = jax.tree_util.tree_map(lambda leaf: jnp.full((M,) + leaf.shape, random_val, leaf.dtype), f0)
+
+        u = jnp.concatenate([u0[None], u_nodes], axis=0)
+        f = jax.tree_util.tree_map(lambda l0, ln: jnp.concatenate([l0[None], ln], axis=0), f0, f_nodes)
+        tau = jnp.zeros((M,) + u0.shape, u0.dtype)
+        return LevelState(u=u, f=f, tau=tau)
+
+    def draw_random_val(self) -> float:
+        return float(self._rng.rand(1)[0])
+
+    def integrate(self, state: LevelState, dt) -> jnp.ndarray:
+        """dt * Q @ f over the node axis -> (M, *shape)
+        (reference generic_implicit.py:29-48)."""
+        ft = f_total(state.f)[1:]
+        return dt * _tensordot_nodes(self.coll.q, ft)
+
+    def compute_residual(self, state: LevelState, dt, residual_type: str = 'full_abs'):
+        """Collocation residual and its norm (reference sweeper.py:164-222).
+
+        Returns ``(residual_nodes, norm)`` with residual_nodes (M, *shape).
+        """
+        res = self.integrate(state, dt) + state.tau + state.u[0][None] - state.u[1:]
+        node_norms = jnp.stack([norm_max(res[m]) for m in range(res.shape[0])])
+        if residual_type == 'full_abs':
+            norm = jnp.max(node_norms)
+        elif residual_type == 'last_abs':
+            norm = node_norms[-1]
+        elif residual_type == 'full_rel':
+            norm = jnp.max(node_norms) / norm_max(state.u[0])
+        elif residual_type == 'last_rel':
+            norm = node_norms[-1] / norm_max(state.u[0])
+        else:
+            raise ParameterError(
+                f'residual_type = {residual_type} not implemented, choose full_abs, last_abs, full_rel or last_rel'
+            )
+        return res, norm
+
+    def compute_end_point(self, state: LevelState, t, dt):
+        """u at the right interval end (reference generic_implicit.py:105-131)."""
+        if self.coll.right_is_node and not self.do_coll_update:
+            return state.u[-1]
+        ft = f_total(state.f)[1:]
+        w = jnp.asarray(self.coll.weights, dtype=state.u.dtype)
+        uend = state.u[0] + dt * jnp.tensordot(w, ft, axes=(0, 0))
+        uend = uend + state.tau[-1]
+        return uend
+
+    def update_nodes(self, prob, state: LevelState, t, dt, k: int = 0) -> LevelState:
+        raise NotImplementedError('sweeper has to implement update_nodes')

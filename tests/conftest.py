@@ -11,7 +11,7 @@ import os
 import sys
 
 if not os.environ.get('PYSDC_TPU_TEST_REAL'):
-    os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+    os.environ['JAX_PLATFORMS'] = 'cpu'
     flags = os.environ.get('XLA_FLAGS', '')
     if '--xla_force_host_platform_device_count' not in flags:
         os.environ['XLA_FLAGS'] = (flags + ' --xla_force_host_platform_device_count=8').strip()
@@ -19,5 +19,10 @@ if not os.environ.get('PYSDC_TPU_TEST_REAL'):
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+
+if not os.environ.get('PYSDC_TPU_TEST_REAL'):
+    # the sandbox's sitecustomize force-registers the axon TPU platform and
+    # overrides JAX_PLATFORMS; the config route still wins
+    jax.config.update('jax_platforms', 'cpu')
 
 jax.config.update('jax_enable_x64', True)
