@@ -15,18 +15,14 @@ from pysdc_tpu.core.level import Level
 
 
 def _per_level(params: dict, num_levels: int) -> list[dict]:
-    """Expand dict values that are lists into per-level dicts
-    (reference step.py:174 ``__dict_to_list``)."""
+    """Expand dict values that are lists into per-level dicts; shorter lists
+    repeat their last entry (reference step.py:174 ``__dict_to_list``)."""
     out = []
     for lvl in range(num_levels):
         d = {}
         for key, value in params.items():
-            if isinstance(value, (list, tuple)):
-                if len(value) < num_levels:
-                    raise ParameterError(
-                        f'parameter {key!r} has only {len(value)} entries for {num_levels} levels'
-                    )
-                d[key] = value[lvl]
+            if isinstance(value, list):
+                d[key] = value[min(lvl, len(value) - 1)]
             else:
                 d[key] = value
         out.append(d)
@@ -37,9 +33,9 @@ def _num_levels(description: dict) -> int:
     n = 1
     for key in ('problem_params', 'sweeper_params', 'level_params'):
         for value in description.get(key, {}).values():
-            if isinstance(value, (list, tuple)):
+            if isinstance(value, list):
                 n = max(n, len(value))
-    if isinstance(description.get('problem_class'), (list, tuple)):
+    if isinstance(description.get('problem_class'), list):
         n = max(n, len(description['problem_class']))
     return n
 

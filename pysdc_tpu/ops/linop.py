@@ -73,16 +73,22 @@ class SeparableFDOperator:
                     derivative, order, size, dx, bc=bc, stencil_type=stencil_type, steps=steps,
                     bc_params=d.get('bc_params'),
                 )
-                lam, V = np.linalg.eig(A1)
-                cond = np.linalg.cond(V)
-                if cond > 1e10:
-                    raise ProblemError(
-                        f'1D FD matrix along axis {axis} is too ill-conditioned for the eigen '
-                        f'direct solver (cond(V)={cond:.1e}); use an iterative solver_type'
-                    )
-                Vinv = np.linalg.inv(V)
-                if np.max(np.abs(lam.imag)) < 1e-12 * max(np.max(np.abs(lam.real)), 1.0):
-                    lam, V, Vinv = lam.real, V.real, Vinv.real
+                if np.allclose(A1, A1.T, atol=1e-14 * np.max(np.abs(A1))):
+                    # symmetric (e.g. 2nd-order Dirichlet Laplacian): orthogonal
+                    # eigenbasis, V^{-1} = V^T exactly — no conditioning loss
+                    lam, V = np.linalg.eigh(A1)
+                    Vinv = V.T
+                else:
+                    lam, V = np.linalg.eig(A1)
+                    cond = np.linalg.cond(V)
+                    if cond > 1e10:
+                        raise ProblemError(
+                            f'1D FD matrix along axis {axis} is too ill-conditioned for the eigen '
+                            f'direct solver (cond(V)={cond:.1e}); use an iterative solver_type'
+                        )
+                    Vinv = np.linalg.inv(V)
+                    if np.max(np.abs(lam.imag)) < 1e-12 * max(np.max(np.abs(lam.real)), 1.0):
+                        lam, V, Vinv = lam.real, V.real, Vinv.real
                 self._dims.append(dict(kind='dense', axis=axis, A=A1, lam=lam, V=V, Vinv=Vinv))
                 nnz += int(np.mean(np.count_nonzero(A1, axis=1)))
                 # broadcast the 1D boundary vector into the ND grid
