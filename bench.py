@@ -1,0 +1,138 @@
+"""Headline benchmark: nnz/s per chip in SDC sweeps (north star, BASELINE.json).
+
+Workload: sustained generic-implicit SDC sweeps (update_nodes + residual) on
+the 2D heat operator (periodic 5-point stencil), M=4 Radau-right nodes, LU
+preconditioner — the reference's hot loop (generic_implicit.py:51-103).
+
+nnz accounting: one sweep evaluates the RHS at all M nodes; each evaluation
+applies the stencil operator (nnz_per_dof * n_dof multiply-adds).  The
+residual applies Q across nodes.  We count only the operator applications:
+nnz_per_sweep = M * nnz_per_dof * n_dof (conservative: implicit solves and
+Q-matmuls are uncounted extra work).
+
+vs_baseline: the same sweep math in the reference's technology (scipy CSR
+SpMV + cached splu solves, single CPU core) measured in-process at its own
+comfortable size; ratio = TPU nnz/s / scipy nnz/s.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def bench_tpu(n=2048, M=4, iters=20, warmup=3):
+    import jax
+    import jax.numpy as jnp
+
+    from pysdc_tpu.models.heat import HeatND
+    from pysdc_tpu.sweepers.generic_implicit import GenericImplicit
+
+    prob = HeatND(nvars=(n, n), nu=0.1, freq=2, bc='periodic', dtype=jnp.float32)
+    sweep = GenericImplicit({'num_nodes': M, 'quad_type': 'RADAU-RIGHT', 'QI': 'LU'})
+
+    @jax.jit
+    def one_sweep(state, t, dt):
+        new = sweep.update_nodes(prob, state, t, dt, 0)
+        _, res = sweep.compute_residual(new, dt)
+        return new, res
+
+    dt = jnp.asarray(0.01, jnp.float32)
+    t = jnp.asarray(0.0, jnp.float32)
+    state = sweep.predict(prob, prob.u_exact(0.0), t, dt, 0.0)
+
+    for _ in range(warmup):
+        state, res = one_sweep(state, t, dt)
+    float(res)  # full sync; block_until_ready is unreliable on the axon tunnel
+
+    start = time.perf_counter()
+    for _ in range(iters):
+        state, res = one_sweep(state, t, dt)
+    float(res)  # forces the whole chain to complete before we stop the clock
+    elapsed = time.perf_counter() - start
+
+    # count assembled-matrix nonzeros (center coefficients merged), matching
+    # the scipy CSR accounting: 2*ndim + 1 for the 2nd-order Laplacian
+    nnz_per_dof = 2 * 2 + 1
+    nnz_per_sweep = M * nnz_per_dof * n * n
+    return nnz_per_sweep * iters / elapsed, float(res)
+
+
+def bench_scipy_reference(n=512, M=4, iters=5):
+    """Reference-equivalent sweep: CSR SpMV + splu triangular solves."""
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as spla
+
+    from pysdc_tpu.ops.collocation import get_collocation
+    from pysdc_tpu.ops.qdelta import qdelta_implicit
+
+    # periodic 5-point Laplacian, same operator as the TPU run
+    e = np.ones(n)
+    A1 = sp.diags([e, -2 * e, e], [-1, 0, 1], (n, n), format='lil')
+    A1[0, -1] = 1.0
+    A1[-1, 0] = 1.0
+    A1 = (A1 * (n * n)).tocsr()  # dx = 1/n
+    I1 = sp.eye(n, format='csr')
+    A = 0.1 * (sp.kron(A1, I1) + sp.kron(I1, A1)).tocsr()
+    ndof = n * n
+
+    coll = get_collocation(M, 'LEGENDRE', 'RADAU-RIGHT')
+    QI = qdelta_implicit(coll, 'LU')
+    dt = 0.01
+
+    rng = np.random.default_rng(0)
+    u = [rng.standard_normal(ndof) for _ in range(M + 1)]
+    f = [A @ x for x in u]
+    Isys = sp.eye(ndof, format='csc')
+    # factorization cache keyed by dt*q (reference generic_ND_FD.py:208-240)
+    solvers = {}
+    for m in range(M):
+        alpha = dt * QI[m + 1, m + 1]
+        if alpha != 0 and alpha not in solvers:
+            solvers[alpha] = spla.splu((Isys - alpha * A).tocsc())
+
+    start = time.perf_counter()
+    for _ in range(iters):
+        # integral = dt*(Q-QI) f + u0
+        integral = []
+        for m in range(M):
+            acc = u[0].copy()
+            for j in range(M):
+                w = dt * (coll.q[m, j] - QI[m + 1, j + 1])
+                if w != 0:
+                    acc += w * f[j + 1]
+            integral.append(acc)
+        for m in range(M):
+            rhs = integral[m]
+            for j in range(1, m + 1):
+                if QI[m + 1, j] != 0:
+                    rhs = rhs + dt * QI[m + 1, j] * f[j]
+            alpha = dt * QI[m + 1, m + 1]
+            u[m + 1] = solvers[alpha].solve(rhs) if alpha != 0 else rhs
+            f[m + 1] = A @ u[m + 1]
+        # residual
+        for m in range(M):
+            r = u[0] - u[m + 1]
+            for j in range(M):
+                r += dt * coll.q[m, j] * f[j + 1]
+            np.max(np.abs(r))
+    elapsed = time.perf_counter() - start
+
+    nnz_per_dof = A.nnz / ndof
+    return M * nnz_per_dof * ndof * iters / elapsed
+
+
+def main():
+    tpu_nnz_s, res = bench_tpu()
+    ref_nnz_s = bench_scipy_reference()
+    result = {
+        'metric': 'nnz/s per chip in SDC sweeps (2D heat, M=4, LU)',
+        'value': round(tpu_nnz_s / 1e9, 3),
+        'unit': 'Gnnz/s',
+        'vs_baseline': round(tpu_nnz_s / ref_nnz_s, 2),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == '__main__':
+    main()
