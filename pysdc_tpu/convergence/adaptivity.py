@@ -1,0 +1,139 @@
+"""Adaptive step-size selection from local error estimates.
+
+Mirrors the reference adaptivity family
+(convergence_controller_classes/adaptivity.py): optimal step size
+``dt_new = beta * dt * (e_tol / e_est)^(1/order)``, restart when the local
+error exceeds ``e_tol`` after the final iteration.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pysdc_tpu.core.convergence import ConvergenceController
+from pysdc_tpu.core.errors import ParameterError
+
+
+class AdaptivityBase(ConvergenceController):
+    """Base: optimal-step-size formula + restart policy (adaptivity.py:8)."""
+
+    def setup(self, controller, params, description, **kwargs):
+        defaults = {'control_order': -50, 'beta': 0.9}
+        return {**defaults, **super().setup(controller, params, description, **kwargs)}
+
+    def dependencies(self, controller, description, **kwargs):
+        limiter_keys = ['dt_min', 'dt_max', 'dt_slope_min', 'dt_slope_max', 'dt_rel_min_slope']
+        available = {k: getattr(self.params, k) for k in limiter_keys if hasattr(self.params, k)}
+        if available:
+            from pysdc_tpu.convergence.step_size_limiter import StepSizeLimiter
+
+            controller.add_convergence_controller(StepSizeLimiter, params=available, description=description)
+
+    def compute_optimal_step_size(self, beta, dt, e_tol, e_est, order):
+        return beta * dt * (e_tol / e_est) ** (1.0 / order)
+
+    def get_local_error_estimate(self, controller, S, **kwargs):
+        raise NotImplementedError('Please implement a way to get the local error')
+
+    def determine_restart(self, controller, S, **kwargs):
+        if S.status.iter >= S.params.maxiter:
+            e_est = self.get_local_error_estimate(controller, S)
+            if e_est >= self.params.e_tol:
+                S.status.restart = True
+                self.log(f'Restarting: e={e_est:.2e} >= e_tol={self.params.e_tol:.2e}', S)
+
+
+class Adaptivity(AdaptivityBase):
+    """Embedded-error-based adaptivity (adaptivity.py:273)."""
+
+    def setup(self, controller, params, description, **kwargs):
+        defaults = {'embedded_error_flavor': 'standard', 'rel_error': False}
+        params = {**defaults, **super().setup(controller, params, description, **kwargs)}
+        if description.get('level_params', {}).get('restol', -1.0) >= 0:
+            raise ParameterError(
+                'Adaptivity needs constant order in time: restol must be < 0 (use maxiter instead)'
+            )
+        if 'e_tol' not in params:
+            raise ParameterError('Adaptivity needs a local tolerance: pass e_tol in its params')
+        return params
+
+    def dependencies(self, controller, description, **kwargs):
+        from pysdc_tpu.convergence.estimate_embedded_error import EstimateEmbeddedError
+
+        super().dependencies(controller, description, **kwargs)
+        controller.add_convergence_controller(
+            EstimateEmbeddedError, description=description, params={'rel_error': self.params.rel_error}
+        )
+
+    def get_new_step_size(self, controller, S, **kwargs):
+        if S.status.iter == S.params.maxiter:
+            L = S.levels[0]
+            order = S.status.iter  # embedded estimate order == iteration count
+            e_est = self.get_local_error_estimate(controller, S)
+            L.status.dt_new = self.compute_optimal_step_size(
+                self.params.beta, L.params.dt, self.params.e_tol, e_est, order
+            )
+            self.log(f'Adjusting step size from {L.params.dt:.2e} to {L.status.dt_new:.2e}', S)
+
+    def get_local_error_estimate(self, controller, S, **kwargs):
+        return S.levels[0].status.error_embedded_estimate
+
+
+class AdaptivityRK(Adaptivity):
+    """Adaptivity for embedded RK pairs: fixed update order (adaptivity.py:422)."""
+
+    def setup(self, controller, params, description, **kwargs):
+        defaults = {}
+        defaults['update_order'] = params.get('update_order', description['sweeper_class'].get_update_order())
+        return {**defaults, **super().setup(controller, params, description, **kwargs)}
+
+    def get_new_step_size(self, controller, S, **kwargs):
+        if S.status.iter == S.params.maxiter:
+            L = S.levels[0]
+            e_est = self.get_local_error_estimate(controller, S)
+            L.status.dt_new = self.compute_optimal_step_size(
+                self.params.beta, L.params.dt, self.params.e_tol, e_est, self.params.update_order
+            )
+            self.log(f'Adjusting step size from {L.params.dt:.2e} to {L.status.dt_new:.2e}', S)
+
+
+class AdaptivityResidual(AdaptivityBase):
+    """Residual-based step size control (adaptivity.py:458): double/halve the
+    step size when the residual leaves [e_tol, max_restol]."""
+
+    def setup(self, controller, params, description, **kwargs):
+        defaults = {
+            'control_order': -45,
+            'e_tol': np.inf,
+            'max_restol': 0,
+            'allowed_modifications': ['increase', 'decrease'],
+        }
+        return {**defaults, **super().setup(controller, params, description, **kwargs)}
+
+    def dependencies(self, controller, description, **kwargs):
+        pass
+
+    def setup_status_variables(self, controller, **kwargs):
+        pass
+
+    def get_new_step_size(self, controller, S, **kwargs):
+        if S.status.iter == S.params.maxiter:
+            L = S.levels[0]
+            res = self.get_local_error_estimate(controller, S)
+            dt_planned = L.status.dt_new if L.status.dt_new is not None else L.params.dt
+            if res > self.params.e_tol and 'decrease' in self.params.allowed_modifications:
+                L.status.dt_new = min([dt_planned, L.params.dt / 2.0])
+                self.log(f'Halving step size from {L.params.dt:.2e} to {L.status.dt_new:.2e}', S)
+            elif res < self.params.max_restol and 'increase' in self.params.allowed_modifications:
+                L.status.dt_new = max([dt_planned, L.params.dt * 2.0])
+                self.log(f'Doubling step size from {L.params.dt:.2e} to {L.status.dt_new:.2e}', S)
+
+    def get_local_error_estimate(self, controller, S, **kwargs):
+        return float(S.levels[0].status.residual)
+
+    def determine_restart(self, controller, S, **kwargs):
+        if S.status.iter >= S.params.maxiter:
+            res = self.get_local_error_estimate(controller, S)
+            if res > self.params.e_tol:
+                S.status.restart = True
+                self.log(f'Restarting: residual={res:.2e} > e_tol={self.params.e_tol:.2e}', S)

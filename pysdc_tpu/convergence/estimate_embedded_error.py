@@ -1,0 +1,61 @@
+"""Embedded error estimate from order-mismatched solutions.
+
+Mirrors reference ``EstimateEmbeddedError``
+(convergence_controller_classes/estimate_embedded_error.py:9-150): for SDC
+the difference of two consecutive sweeps at the last node, for embedded RK
+pairs the difference of the two weight rows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pysdc_tpu.core.convergence import ConvergenceController
+from pysdc_tpu.core.state import norm_max
+from pysdc_tpu.sweepers.runge_kutta import RungeKutta
+
+
+class EstimateEmbeddedError(ConvergenceController):
+    def setup(self, controller, params, description, **kwargs):
+        sweeper_type = 'RK' if RungeKutta in description['sweeper_class'].__mro__ else 'SDC'
+        return {
+            'control_order': -80,
+            'sweeper_type': sweeper_type,
+            'rel_error': False,
+            **super().setup(controller, params, description, **kwargs),
+        }
+
+    def dependencies(self, controller, description, **kwargs):
+        if RungeKutta not in description['sweeper_class'].__mro__:
+            from pysdc_tpu.convergence.store_uold import StoreUOld
+
+            controller.add_convergence_controller(StoreUOld, description=description)
+
+    def setup_status_variables(self, controller, **kwargs):
+        self.add_status_variable_to_level('error_embedded_estimate')
+        self.add_status_variable_to_level('increment')
+
+    def estimate_embedded_error_serial(self, L):
+        if self.params.sweeper_type == 'RK':
+            L.compute_end_point()
+            err = norm_max(L.uend - L.uend_secondary)
+            if self.params.rel_error:
+                err = err / norm_max(L.uend)
+            return float(err)
+        if self.params.sweeper_type == 'SDC':
+            # order rises by one between sweeps
+            err = norm_max(L.uold[-1] - L.state.u[-1])
+            if self.params.rel_error:
+                err = err / norm_max(L.state.u[-1])
+            return float(err)
+        raise NotImplementedError(f'unknown sweeper type {self.params.sweeper_type}')
+
+    def post_iteration_processing(self, controller, S, **kwargs):
+        if S.status.iter > 0 or self.params.sweeper_type == 'RK':
+            for L in S.levels:
+                if L.state is None or (L.uold is None and self.params.sweeper_type == 'SDC'):
+                    continue
+                L.status.error_embedded_estimate = max(
+                    self.estimate_embedded_error_serial(L), np.finfo(float).eps
+                )
+                L.status.increment = L.status.error_embedded_estimate * 1

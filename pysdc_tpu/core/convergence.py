@@ -28,19 +28,23 @@ class ConvergenceController:
     def __init__(self, controller, params: dict, description: dict, **kwargs):
         self.controller = controller
         self.params = Pars(self.setup(controller, params, description, **kwargs))
+        if not hasattr(self.params, 'control_order'):
+            self.params.control_order = 0
         self.logger = logging.getLogger(type(self).__name__)
         self.dependencies(controller, description, **kwargs)
 
     # -- configuration --------------------------------------------------
     def setup(self, controller, params: dict, description: dict, **kwargs) -> dict:
-        """Merge defaults with user params; manual registrations of the same
-        class in ``description['convergence_controllers']`` take priority
-        (reference convergence_controller.py:110-142)."""
+        """Merge user params over whatever was passed; manual registrations of
+        the same class in ``description['convergence_controllers']`` take
+        priority (reference convergence_controller.py:110-142).  Subclasses
+        wrap this as ``{**defaults, **super().setup(...)}`` so their defaults
+        lose only against explicit user choices."""
         user = {}
         for cls, cls_params in description.get('convergence_controllers', {}).items():
             if cls == type(self):
                 user = dict(cls_params)
-        return {'control_order': 0, 'useMPI': False, **params, **user}
+        return {'useMPI': False, **params, **user}
 
     def dependencies(self, controller, description: dict, **kwargs):
         pass
@@ -89,6 +93,8 @@ class ConvergenceController:
         self.check_iteration_status(controller, S, **kwargs)
 
     # -- status-variable injection (reference :455-494) -----------------
+    # injected variables are also recorded on the owning object so they
+    # survive reset_level/reset_step across blocks
     def add_status_variable_to_step(self, name, init=None):
         for S in self.controller.all_steps():
             setattr(S.status, name, init)
@@ -100,6 +106,7 @@ class ConvergenceController:
     def add_status_variable_to_level(self, name, init=None):
         for S in self.controller.all_steps():
             for L in S.levels:
+                L.extra_status_vars[name] = init
                 setattr(L.status, name, init)
 
     def set_level_status_variable(self, name, value):

@@ -46,11 +46,24 @@ class Level:
         self.params = LevelParams(dict(level_params))
         self.level_index = level_index
 
+        if getattr(sweeper, 'is_direct_solver', False) and self.params.restol > 0:
+            # RK methods are direct solvers and may not compute a residual at
+            # all (reference Runge_Kutta.py:322-328)
+            import logging
+
+            logging.getLogger('level').warning(
+                'Overwriting residual tolerance with -1 because RK methods are direct!'
+            )
+            self.params.restol = -1.0
+
         self.state: LevelState | None = None
         self.uend = None
+        self.uend_secondary = None  # embedded RK lower-order end point
         self.uold = None  # state snapshot for MLSDC prolongation
+        self.fold = None
         self.residual = None  # (M, *shape) node residuals of last computation
 
+        self.extra_status_vars: dict = {}
         self.status = SimpleNamespace(
             residual=None, unlocked=False, updated=False, time=None, dt_new=None, sweep=1
         )
@@ -70,6 +83,8 @@ class Level:
             functools.partial(sweep.compute_residual, residual_type=self.params.residual_type)
         )
         self._endpoint_fn = jax.jit(sweep.compute_end_point)
+        if hasattr(sweep, 'compute_end_point_with_secondary'):
+            self._endpoint_embedded_fn = jax.jit(sweep.compute_end_point_with_secondary)
         self._integrate_fn = jax.jit(sweep.integrate)
         self._eval_f0 = jax.jit(prob.eval_f)
 
@@ -101,9 +116,13 @@ class Level:
             self.status = SimpleNamespace(
                 residual=None, unlocked=False, updated=False, time=None, dt_new=None, sweep=1
             )
+            for name, init in self.extra_status_vars.items():
+                setattr(self.status, name, init)
         self.state = None
         self.uend = None
+        self.uend_secondary = None
         self.uold = None
+        self.fold = None
         self.residual = None
         self.tag = None
 
@@ -130,7 +149,12 @@ class Level:
         self.status.updated = False
 
     def compute_end_point(self):
-        self.uend = self._endpoint_fn(self.state, self.status.time, self.params.dt)
+        if getattr(self.sweep, 'is_embedded', None) and self.sweep.is_embedded():
+            self.uend, self.uend_secondary = self._endpoint_embedded_fn(
+                self.state, self.status.time, self.params.dt
+            )
+        else:
+            self.uend = self._endpoint_fn(self.state, self.status.time, self.params.dt)
 
     def integrate(self):
         return self._integrate_fn(self.state, self.params.dt)

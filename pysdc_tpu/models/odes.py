@@ -1,0 +1,144 @@
+"""Small nonlinear ODE models.
+
+Counterparts of the reference's ODE toy problems
+(``implementations/problem_classes/``: Lorenz.py, Van_der_Pol_implicit.py,
+LogisticEquation.py, AuzingerImplicit.py, odeScalar.py, odeSystem.py).  All
+implicit solves use a shared jit-friendly Newton iteration with the exact
+Jacobian obtained by ``jax.jacfwd`` inside a ``lax.while_loop`` — the
+TPU-native version of the hand-rolled Newton loops the reference writes per
+problem (e.g. Lorenz.py:109-191).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pysdc_tpu.core.problem import Problem, WorkCounter
+
+
+def newton_solve(f, rhs, factor, u0, tol, maxiter):
+    """Solve ``u - factor * f(u) = rhs`` with Newton; u flat 1-D or scalar.
+
+    Fully traced: runs inside jit, tolerance loop via ``lax.while_loop``.
+    """
+    shape = u0.shape
+    n = int(np.prod(shape)) if shape else 1
+
+    def g(u_flat):
+        u = u_flat.reshape(shape)
+        return (u - factor * f(u) - rhs).ravel()
+
+    jac = jax.jacfwd(g)
+
+    def cond(carry):
+        u_flat, it, res = carry
+        return jnp.logical_and(res > tol, it < maxiter)
+
+    def body(carry):
+        u_flat, it, _ = carry
+        G = g(u_flat)
+        J = jac(u_flat)
+        du = jnp.linalg.solve(J, G)
+        u_new = u_flat - du
+        return u_new, it + 1, jnp.linalg.norm(g(u_new))
+
+    u0_flat = u0.ravel()
+    res0 = jnp.linalg.norm(g(u0_flat))
+    u_flat, _, _ = jax.lax.while_loop(cond, body, (u0_flat, jnp.zeros((), jnp.int32), res0))
+    return u_flat.reshape(shape)
+
+
+class NewtonODE(Problem):
+    """Base for small ODE systems solved implicitly via Newton."""
+
+    def __init__(self, shape, newton_tol=1e-9, newton_maxiter=99, dtype=None):
+        super().__init__(shape=shape, dtype=dtype)
+        self._register(newton_tol=newton_tol, newton_maxiter=newton_maxiter)
+        self.work_counters['newton'] = WorkCounter()
+        self.work_counters['rhs'] = WorkCounter()
+
+    def solve_system(self, rhs, factor, u0, t):
+        self.work_counters['newton']()
+        return newton_solve(
+            lambda u: self.eval_f(u, t), rhs, factor, u0, self.newton_tol, self.newton_maxiter
+        )
+
+
+class Lorenz(NewtonODE):
+    """Lorenz attractor (reference Lorenz.py:7)."""
+
+    def __init__(self, sigma=10.0, rho=28.0, beta=8.0 / 3.0, u0=(1, 1, 1), newton_tol=1e-9, newton_maxiter=99, dtype=None):
+        super().__init__((3,), newton_tol, newton_maxiter, dtype)
+        self._register(sigma=sigma, rho=rho, beta=beta, u0=u0)
+
+    def eval_f(self, u, t):
+        self.work_counters['rhs']()
+        return jnp.stack(
+            [
+                self.sigma * (u[1] - u[0]),
+                self.rho * u[0] - u[1] - u[0] * u[2],
+                u[0] * u[1] - self.beta * u[2],
+            ]
+        )
+
+    def u_exact(self, t, u_init=None, t_init=0.0):
+        u_init = jnp.asarray(self.u0, self.dtype) if u_init is None else u_init
+        if float(t) == float(t_init):
+            return u_init
+        return self.generate_scipy_reference_solution(
+            lambda tt, u: np.asarray(self.eval_f(jnp.asarray(u), tt)), t, u_init, t_init
+        )
+
+
+class VanDerPol(NewtonODE):
+    """Van der Pol oscillator, implicit (reference Van_der_Pol_implicit.py)."""
+
+    def __init__(self, u0=(2.0, 0.0), mu=5.0, newton_tol=1e-9, newton_maxiter=100, dtype=None):
+        super().__init__((2,), newton_tol, newton_maxiter, dtype)
+        self._register(u0=u0, mu=mu)
+
+    def eval_f(self, u, t):
+        self.work_counters['rhs']()
+        return jnp.stack([u[1], self.mu * (1 - u[0] ** 2) * u[1] - u[0]])
+
+    def u_exact(self, t, u_init=None, t_init=0.0):
+        u_init = jnp.asarray(self.u0, self.dtype) if u_init is None else u_init
+        if float(t) == float(t_init):
+            return u_init
+        return self.generate_scipy_reference_solution(
+            lambda tt, u: np.asarray(self.eval_f(jnp.asarray(u), tt)), t, u_init, t_init
+        )
+
+
+class Logistic(NewtonODE):
+    """Logistic growth u' = lam * u * (1 - u) (reference LogisticEquation.py)."""
+
+    def __init__(self, u0=0.5, lam=1.0, newton_tol=1e-12, newton_maxiter=100, dtype=None):
+        super().__init__((1,), newton_tol, newton_maxiter, dtype)
+        self._register(u0=u0, lam=lam)
+
+    def eval_f(self, u, t):
+        self.work_counters['rhs']()
+        return self.lam * u * (1.0 - u)
+
+    def u_exact(self, t, u_init=None, t_init=0.0):
+        u0 = self.u0 if u_init is None else u_init
+        return jnp.full(self.shape, u0 * jnp.exp(self.lam * (t - t_init)) / (1 - u0 + u0 * jnp.exp(self.lam * (t - t_init))), self.dtype)
+
+
+class Auzinger(NewtonODE):
+    """Auzinger test system with exact circular solution
+    (reference AuzingerImplicit.py): u = (cos t, sin t)."""
+
+    def __init__(self, newton_tol=1e-12, newton_maxiter=100, dtype=None):
+        super().__init__((2,), newton_tol, newton_maxiter, dtype)
+
+    def eval_f(self, u, t):
+        self.work_counters['rhs']()
+        z = u[0] ** 2 + u[1] ** 2 - 1
+        return jnp.stack([-u[1] + u[0] * z, u[0] + 3 * u[1] * z])
+
+    def u_exact(self, t, u_init=None, t_init=0.0):
+        return jnp.stack([jnp.cos(t), jnp.sin(t)]).astype(self.dtype)
