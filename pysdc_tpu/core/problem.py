@@ -89,6 +89,12 @@ class Problem:
     def solve_system(self, rhs, factor, u0, t):
         raise NotImplementedError('problem has to implement solve_system(rhs, factor, u0, t)')
 
+    def solve_jacobian(self, rhs, factor, u=None, t=0.0):
+        """Solve ``(I - factor * J(u)) x = rhs`` with the Jacobian evaluated
+        at ``u`` (reference problem.py:198; used by ParaDiag).  For linear
+        problems this is exactly ``solve_system``; ``factor`` may be complex."""
+        return self.solve_system(rhs, factor, rhs, t)
+
     def u_exact(self, t):
         raise NotImplementedError(f'{type(self).__name__} does not implement u_exact(t)')
 

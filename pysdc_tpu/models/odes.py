@@ -65,6 +65,15 @@ class NewtonODE(Problem):
             lambda u: self.eval_f(u, t), rhs, factor, u0, self.newton_tol, self.newton_maxiter
         )
 
+    def solve_jacobian(self, rhs, factor, u=None, t=0.0):
+        """(I - factor * J(u)) x = rhs with a dense (possibly complex)
+        Jacobian — the ParaDiag inner solve for small ODE systems."""
+        u = jnp.zeros(self.shape, self.dtype) if u is None else u
+        J = jax.jacfwd(lambda v: self.eval_f(v, t))(u.real if jnp.iscomplexobj(u) else u)
+        n = rhs.size
+        A = jnp.eye(n, dtype=rhs.dtype) - factor * J.reshape(n, n).astype(rhs.dtype)
+        return jnp.linalg.solve(A, rhs.ravel()).reshape(rhs.shape)
+
 
 class Lorenz(NewtonODE):
     """Lorenz attractor (reference Lorenz.py:7)."""

@@ -188,3 +188,56 @@ class SeparableFDOperator:
     def eigenvalues(self):
         """Full ND symbol (scaled) — useful for exact solutions/tests."""
         return self.scale * self._lam_nd
+
+
+class SpectralOperator:
+    """Exact spectral differential operator on a periodic box.
+
+    TPU-native analog of the reference's mpi4py-fft Laplacians
+    (``generic_MPIFFT_Laplacian.py:10-177``): ``apply`` multiplies by the
+    symbol in Fourier space, ``solve_shifted`` divides by ``1 - factor*symbol``
+    — both exact, both O(N log N), the shift a traced scalar.
+
+    Parameters
+    ----------
+    shape:     spatial grid shape.
+    lengths:   box lengths per dimension (default 1.0 each).
+    symbol_fn: maps the wavenumber grids (k_0, ..., k_{d-1}) to the symbol
+               array (e.g. ``lambda *k: -sum(ki**2 for ki in k)`` for the
+               Laplacian).  Wavenumbers include the 2*pi/L factor.
+    scale:     global prefactor.
+    """
+
+    def __init__(self, shape, symbol_fn=None, lengths=None, scale: float = 1.0):
+        self.shape = tuple(shape)
+        self.ndim = len(self.shape)
+        self.scale = float(scale)
+        lengths = (1.0,) * self.ndim if lengths is None else tuple(lengths)
+        ks = []
+        for n, L in zip(self.shape, lengths):
+            ks.append(2.0 * np.pi * np.fft.fftfreq(n, d=1.0 / n) / L)
+        grids = np.meshgrid(*ks, indexing='ij')
+        if symbol_fn is None:
+            symbol_fn = lambda *k: -sum(ki**2 for ki in k)
+        self.symbol = np.asarray(symbol_fn(*grids)) * self.scale
+        self.nnz_per_dof = 2 * self.ndim + 1  # FD-equivalent accounting
+
+    def _axes(self, u):
+        return tuple(range(u.ndim - self.ndim, u.ndim))
+
+    def apply(self, u):
+        axes = self._axes(u)
+        uhat = jnp.fft.fftn(u, axes=axes)
+        out = jnp.fft.ifftn(uhat * jnp.asarray(self.symbol), axes=axes)
+        if not jnp.iscomplexobj(u):
+            out = jnp.real(out)
+        return out.astype(u.dtype)
+
+    def solve_shifted(self, rhs, factor):
+        axes = self._axes(rhs)
+        rhat = jnp.fft.fftn(rhs, axes=axes)
+        xhat = rhat / (1.0 - factor * jnp.asarray(self.symbol))
+        x = jnp.fft.ifftn(xhat, axes=axes)
+        if not jnp.iscomplexobj(rhs):
+            x = jnp.real(x)
+        return x.astype(rhs.dtype)
