@@ -75,10 +75,16 @@ class Level:
     def _build_jitted(self):
         prob, sweep = self.prob, self.sweep
 
-        self._predict_fn = jax.jit(lambda u0, t, dt, rv: sweep.predict(prob, u0, t, dt, rv))
-        self._update_fn = jax.jit(
-            lambda state, t, dt, k: sweep.update_nodes(prob, state, t, dt, k), static_argnums=(3,)
-        )
+        if getattr(sweep, 'host_stateful', False):
+            # multistep methods carry a host-side history cache: do not bake
+            # it into a trace (inner solves/evals are still jitted)
+            self._predict_fn = lambda u0, t, dt, rv: sweep.predict(prob, u0, t, dt, rv)
+            self._update_fn = lambda state, t, dt, k: sweep.update_nodes(prob, state, t, dt, k)
+        else:
+            self._predict_fn = jax.jit(lambda u0, t, dt, rv: sweep.predict(prob, u0, t, dt, rv))
+            self._update_fn = jax.jit(
+                lambda state, t, dt, k: sweep.update_nodes(prob, state, t, dt, k), static_argnums=(3,)
+            )
         self._residual_fn = jax.jit(
             functools.partial(sweep.compute_residual, residual_type=self.params.residual_type)
         )
@@ -140,6 +146,22 @@ class Level:
         k = self.status.sweep if self.sweep.k_dependent else 0
         self.state = self._update_fn(self.state, self.status.time, self.params.dt, k)
         self.status.updated = True
+        self._account_work()
+
+    def _account_work(self):
+        """Host-side work accounting: jitted kernels only tick counters at
+        trace time, so the statically-known work per sweep is added here
+        (one RHS evaluation and one implicit solve per collocation node;
+        unlike the reference, 'newton'/'CG' counters count *solves*, not
+        inner iterations)."""
+        M = self.sweep.coll.num_nodes
+        wc = self.prob.work_counters
+        if 'rhs' in wc:
+            wc['rhs'](M)
+        for key in ('newton', 'CG', 'GMRES', 'linear'):
+            if key in wc:
+                wc[key](M)
+                break
 
     def compute_residual(self, stage: str = ''):
         if stage in self.sweep.skip_residual_computation:
@@ -161,8 +183,9 @@ class Level:
 
     def set_u0(self, u0, eval_f: bool = True):
         """Replace u[0] (and re-evaluate f[0]) — the "recv" of the pipeline
-        (reference controller_nonMPI.py:269-284)."""
-        u = self.state.u.at[0].set(u0)
+        (reference controller_nonMPI.py:269-284).  ``u`` may be a pytree
+        (e.g. Particles) with (M+1)-leading-axis leaves."""
+        u = jax.tree_util.tree_map(lambda leaf, new: leaf.at[0].set(new), self.state.u, u0)
         f = self.state.f
         if eval_f:
             f0 = self._eval_f0(u0, self.status.time)

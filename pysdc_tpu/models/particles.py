@@ -1,0 +1,176 @@
+"""Particle/second-order problems: state is a (pos, vel) pytree.
+
+Counterparts of the reference's particle problems
+(``implementations/problem_classes/``: HarmonicOscillator.py,
+FermiPastaUlamTsingou.py, OuterSolarSystem.py) and the ``particles``
+datatype (datatype_classes/particles.py).  The RHS of a second-order
+problem is the *acceleration* (shape of vel); the Verlet sweeper consumes
+it through the Particles pytree.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from pysdc_tpu.core.problem import Problem, WorkCounter
+
+
+class Particles(NamedTuple):
+    """Second-order state: position + velocity (leaves of equal shape)."""
+
+    pos: jnp.ndarray
+    vel: jnp.ndarray
+
+
+class HarmonicOscillator(Problem):
+    """x'' = -k x - mu x' (reference HarmonicOscillator.py)."""
+
+    def __init__(self, k=1.0, mu=0.0, u0=(1.0, 0.0), phase=0.0, amp=1.0, dtype=None):
+        super().__init__(shape=(1,), dtype=dtype)
+        self._register(k=k, mu=mu, u0=u0, phase=phase, amp=amp)
+        self.work_counters['rhs'] = WorkCounter()
+
+    @property
+    def u_init(self):
+        return Particles(
+            pos=jnp.full((1,), self.u0[0], self.dtype), vel=jnp.full((1,), self.u0[1], self.dtype)
+        )
+
+    def eval_f(self, u: Particles, t):
+        self.work_counters['rhs']()
+        return -self.k * u.pos - self.mu * u.vel
+
+    def u_exact(self, t, u_init=None, t_init=0.0):
+        """Closed-form damped oscillator (reference HarmonicOscillator.py:80+)."""
+        k, mu = self.k, self.mu
+        delta = mu / 2.0
+        omega = np.sqrt(k)
+        x0, v0 = self.u0
+        if delta == 0:
+            pos = x0 * jnp.cos(omega * t) + v0 / omega * jnp.sin(omega * t)
+            vel = -x0 * omega * jnp.sin(omega * t) + v0 * jnp.cos(omega * t)
+        elif delta < omega:  # underdamped
+            om = np.sqrt(omega**2 - delta**2)
+            A = x0
+            B = (v0 + delta * x0) / om
+            e = jnp.exp(-delta * t)
+            pos = e * (A * jnp.cos(om * t) + B * jnp.sin(om * t))
+            vel = e * ((-delta * A + om * B) * jnp.cos(om * t) + (-delta * B - om * A) * jnp.sin(om * t))
+        else:
+            raise NotImplementedError('only undamped/underdamped closed forms implemented')
+        return Particles(pos=jnp.full((1,), pos, self.dtype), vel=jnp.full((1,), vel, self.dtype))
+
+    def eval_hamiltonian(self, u: Particles):
+        return 0.5 * jnp.sum(u.vel**2) + 0.5 * self.k * jnp.sum(u.pos**2)
+
+
+class FermiPastaUlamTsingou(Problem):
+    """FPUT chain with quartic coupling (reference FermiPastaUlamTsingou.py):
+    x_i'' = (x_{i+1} - 2 x_i + x_{i-1}) + alpha*((x_{i+1}-x_i)^2 - (x_i-x_{i-1})^2)."""
+
+    def __init__(self, npart=2048, alpha=0.25, k=1.0, energy_modes=(1,), dtype=None):
+        super().__init__(shape=(npart,), dtype=dtype)
+        self._register(npart=npart, alpha=alpha, k=k, energy_modes=tuple(energy_modes))
+        self.work_counters['rhs'] = WorkCounter()
+
+    @property
+    def u_init(self):
+        return self.u_exact(0.0)
+
+    def eval_f(self, u: Particles, t):
+        self.work_counters['rhs']()
+        x = u.pos
+        # fixed (zero) boundaries
+        xp = jnp.concatenate([x[1:], jnp.zeros(1, x.dtype)])
+        xm = jnp.concatenate([jnp.zeros(1, x.dtype), x[:-1]])
+        dr = xp - x
+        dl = x - xm
+        return (dr - dl) + self.alpha * (dr**2 - dl**2)
+
+    def u_exact(self, t, u_init=None, t_init=0.0):
+        if float(t) != 0.0:
+            raise NotImplementedError('u_exact only implemented for t=0')
+        n = self.npart
+        i = jnp.arange(1, n + 1)
+        pos = jnp.sin(jnp.pi * i / (n + 1)) * 0.0
+        vel = jnp.sqrt(2.0 / (n + 1)) * jnp.sin(jnp.pi * i / (n + 1))
+        return Particles(pos=pos.astype(self.dtype), vel=vel.astype(self.dtype))
+
+    def eval_hamiltonian(self, u: Particles):
+        x = u.pos
+        xp = jnp.concatenate([x[1:], jnp.zeros(1, x.dtype)])
+        dr = xp - x
+        d0 = jnp.concatenate([x[:1]])  # left boundary spring
+        ham = 0.5 * jnp.sum(u.vel**2)
+        ham += jnp.sum(0.5 * dr**2 + self.alpha / 3.0 * dr**3)
+        ham += 0.5 * d0[0] ** 2 + self.alpha / 3.0 * d0[0] ** 3
+        return ham
+
+
+class OuterSolarSystem(Problem):
+    """Six-body outer solar system (reference OuterSolarSystem.py): sun,
+    Jupiter, Saturn, Uranus, Neptune, Pluto; standard astronomical data."""
+
+    G = 2.95912208286e-4
+
+    def __init__(self, sun_only=False, dtype=None):
+        super().__init__(shape=(3, 6), dtype=dtype)
+        self._register(sun_only=sun_only)
+        self.masses = jnp.asarray(
+            [1.00000597682, 0.000954786104043, 0.000285583733151, 4.37273164546e-5, 5.17759138449e-5, 1.0 / 130000000.0]
+        )
+        self.work_counters['rhs'] = WorkCounter()
+
+    def eval_f(self, u: Particles, t):
+        """Pairwise gravitational accelerations, fully vectorized."""
+        self.work_counters['rhs']()
+        pos = u.pos  # (3, N)
+        diff = pos[:, None, :] - pos[:, :, None]  # (3, i, j): x_j - x_i
+        r2 = jnp.sum(diff**2, axis=0) + jnp.eye(pos.shape[1])
+        inv_r3 = jnp.where(jnp.eye(pos.shape[1], dtype=bool), 0.0, r2 ** (-1.5))
+        if self.sun_only:
+            # acceleration of body i due to the sun only
+            diff_sun = pos[:, :1] - pos  # (3, N)
+            r2s = jnp.sum(diff_sun**2, axis=0)
+            r2s = jnp.where(r2s == 0, 1.0, r2s)
+            acc = self.G * self.masses[0] * diff_sun / r2s ** 1.5
+            acc = acc.at[:, 0].set(0.0)
+            return acc
+        acc = self.G * jnp.einsum('j,dij->di', self.masses, diff * inv_r3[None])
+        return acc
+
+    def u_exact(self, t, u_init=None, t_init=0.0):
+        if float(t) != 0.0:
+            raise NotImplementedError('u_exact only works for the initial time t0=0')
+        pos = np.array(
+            [
+                [0.0, 0.0, 0.0],
+                [-3.5025653, -3.8169847, -1.5507963],
+                [9.0755314, -3.0458353, -1.6483708],
+                [8.3101420, -16.2901086, -7.2521278],
+                [11.4707666, -25.7294829, -10.8169456],
+                [-15.5387357, -25.2225594, -3.1902382],
+            ]
+        ).T
+        vel = np.array(
+            [
+                [0.0, 0.0, 0.0],
+                [0.00565429, -0.00412490, -0.00190589],
+                [0.00168318, 0.00483525, 0.00192462],
+                [0.00354178, 0.00137102, 0.00055029],
+                [0.00288930, 0.00114527, 0.00039677],
+                [0.00276725, -0.0017072, -0.00136504],
+            ]
+        ).T
+        return Particles(pos=jnp.asarray(pos, self.dtype), vel=jnp.asarray(vel, self.dtype))
+
+    def eval_hamiltonian(self, u: Particles):
+        kin = 0.5 * jnp.sum(self.masses * jnp.sum(u.vel**2, axis=0))
+        diff = u.pos[:, None, :] - u.pos[:, :, None]
+        r = jnp.sqrt(jnp.sum(diff**2, axis=0) + jnp.eye(6))
+        mm = self.masses[:, None] * self.masses[None, :]
+        pot = -self.G * jnp.sum(jnp.triu(mm / r, k=1))
+        return kin + pot
