@@ -26,6 +26,9 @@ class BasicRestarting(ConvergenceController):
             'crash_after_max_restarts': True,
             'restart_from_first_step': False,
         }
+        from pysdc_tpu.hooks.logging_hooks import LogRestarts
+
+        controller.add_hook(LogRestarts)
         return {**defaults, **super().setup(controller, params, description, **kwargs)}
 
     def dependencies(self, controller, description, **kwargs):

@@ -30,6 +30,9 @@ class EstimateEmbeddedError(ConvergenceController):
             from pysdc_tpu.convergence.store_uold import StoreUOld
 
             controller.add_convergence_controller(StoreUOld, description=description)
+        from pysdc_tpu.hooks.logging_hooks import LogEmbeddedErrorEstimate
+
+        controller.add_hook(LogEmbeddedErrorEstimate)
 
     def setup_status_variables(self, controller, **kwargs):
         self.add_status_variable_to_level('error_embedded_estimate')

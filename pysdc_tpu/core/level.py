@@ -75,16 +75,33 @@ class Level:
     def _build_jitted(self):
         prob, sweep = self.prob, self.sweep
 
+        # mutable problem scalars (e.g. newton_tol driven by the
+        # NewtonInexactness policy) enter the trace as *arguments*, so host
+        # changes take effect without retracing
+        self._traced_keys = tuple(k for k in ('newton_tol',) if hasattr(prob, k))
+
+        def _with_overrides(fn, overrides):
+            old = {key: getattr(prob, key) for key in overrides}
+            for key, val in overrides.items():
+                setattr(prob, key, val)
+            try:
+                return fn()
+            finally:
+                for key, val in old.items():
+                    setattr(prob, key, val)
+
+        def _update(state, t, dt, k, overrides):
+            return _with_overrides(lambda: sweep.update_nodes(prob, state, t, dt, k), overrides)
+
         if getattr(sweep, 'host_stateful', False):
             # multistep methods carry a host-side history cache: do not bake
             # it into a trace (inner solves/evals are still jitted)
             self._predict_fn = lambda u0, t, dt, rv: sweep.predict(prob, u0, t, dt, rv)
-            self._update_fn = lambda state, t, dt, k: sweep.update_nodes(prob, state, t, dt, k)
+            self._update_fn = lambda state, t, dt, k, ov: sweep.update_nodes(prob, state, t, dt, k)
         else:
             self._predict_fn = jax.jit(lambda u0, t, dt, rv: sweep.predict(prob, u0, t, dt, rv))
-            self._update_fn = jax.jit(
-                lambda state, t, dt, k: sweep.update_nodes(prob, state, t, dt, k), static_argnums=(3,)
-            )
+            self._update_fn = jax.jit(_update, static_argnums=(3,))
+
         self._residual_fn = jax.jit(
             functools.partial(sweep.compute_residual, residual_type=self.params.residual_type)
         )
@@ -93,6 +110,11 @@ class Level:
             self._endpoint_embedded_fn = jax.jit(sweep.compute_end_point_with_secondary)
         self._integrate_fn = jax.jit(sweep.integrate)
         self._eval_f0 = jax.jit(prob.eval_f)
+
+    def _overrides(self):
+        import jax.numpy as jnp
+
+        return {key: jnp.asarray(getattr(self.prob, key)) for key in self._traced_keys}
 
     # -- properties mirroring the reference's level surface ------------
     @property
@@ -144,7 +166,7 @@ class Level:
         if not self.status.unlocked:
             raise UnlockError('level is still locked, cannot use data from there')
         k = self.status.sweep if self.sweep.k_dependent else 0
-        self.state = self._update_fn(self.state, self.status.time, self.params.dt, k)
+        self.state = self._update_fn(self.state, self.status.time, self.params.dt, k, self._overrides())
         self.status.updated = True
         self._account_work()
 
