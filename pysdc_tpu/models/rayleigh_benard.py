@@ -1,0 +1,226 @@
+"""Rayleigh-Benard convection: incompressible Navier-Stokes + temperature.
+
+Counterpart of the reference ``RayleighBenard``
+(``implementations/problem_classes/RayleighBenard.py:1-643``):
+
+    u_x + v_z = 0
+    u_t - nu (u_xx + u_zz) + p_x     = -(u u_x + v u_z)
+    v_t - nu (v_xx + v_zz) + p_z - T = -(u v_x + v v_z)
+    T_t - kappa (T_xx + T_zz)        = -(u T_x + v T_z)
+
+on [0, Lx) x [z0, z0+Lz], FFT in x, ultraspherical in z, Dirichlet plates,
+pressure gauge via an integral tau line.  The stiff linear part (viscosity,
+pressure, buoyancy, incompressibility) is implicit; convection is explicit
+with 3/2 dealiasing.  Implicit solves are batched per-Fourier-mode dense
+solves (see ops/spectral.py) — the whole IMEX substep is one XLA program.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from pysdc_tpu.core.problem import Problem, WorkCounter
+from pysdc_tpu.core.state import IMEX
+from pysdc_tpu.ops.spectral import FourierBase1D, SpectralLinearProblemBase, UltrasphericalBase1D
+
+
+class RayleighBenard(Problem):
+    f_kind = 'imex'
+
+    def __init__(self, Prandtl=1.0, Rayleigh=2e6, nx=64, nz=32, BCs=None, dealiasing=1.5,
+                 Lx=4.0, Lz=1.0, z0=0.0, dtype=None):
+        BCs = {
+            'T_top': 0, 'T_bottom': 1, 'v_top': 0, 'v_bottom': 0,
+            'u_top': 0, 'u_bottom': 0, 'p_integral': 0,
+            **(BCs or {}),
+        }
+        super().__init__(shape=(4, nx, nz), dtype=dtype)
+        self._register(Prandtl=Prandtl, Rayleigh=Rayleigh, nx=nx, nz=nz, BCs=BCs,
+                       dealiasing=dealiasing, Lx=Lx, Lz=Lz, z0=z0)
+
+        xb = FourierBase1D(nx, 0.0, Lx)
+        zb = UltrasphericalBase1D(nz, z0, z0 + Lz)
+        self.xb, self.zb = xb, zb
+        spec = SpectralLinearProblemBase(['u', 'v', 'T', 'p'], xb, zb)
+        self.spec = spec
+
+        # rescaled Rayleigh number -> diffusivities (reference :143-146)
+        Ra = Rayleigh / (max(abs(BCs['T_top'] - BCs['T_bottom']), np.finfo(float).eps) * Lz**3)
+        self.kappa = (Ra * Prandtl) ** (-0.5)
+        self.nu = (Ra / Prandtl) ** (-0.5)
+
+        D1, D2 = zb.diff_matrix(1), zb.diff_matrix(2)
+        U01 = zb.conv_matrix(0, 1)
+        U12 = zb.conv_matrix(1, 2)
+        U02 = zb.conv_matrix(0, 2)
+        Id = np.eye(nz)
+
+        spec.set_L({
+            'p': {'u': [(1, U01)], 'v': [(0, D1)]},  # divergence-free constraint
+            'u': {'p': [(1, U02)], 'u': [(2, -self.nu * U02), (0, -self.nu * D2)]},
+            'v': {'p': [(0, U12 @ D1)], 'v': [(2, -self.nu * U02), (0, -self.nu * D2)], 'T': [(0, -U02)]},
+            'T': {'T': [(2, -self.kappa * U02), (0, -self.kappa * D2)]},
+        })
+        spec.set_M({c: {c: [(0, U02)]} for c in ['u', 'v', 'T']})
+
+        z_top, z_bot = z0 + Lz, z0
+        spec.add_BC('p', 'p', zb.integral_row(), BCs['p_integral'], line=-1, zero_only=True)
+        spec.add_BC('T', 'T', zb.dirichlet_row(z_bot), BCs['T_bottom'], line=-1)
+        spec.add_BC('T', 'T', zb.dirichlet_row(z_top), BCs['T_top'], line=-2)
+        spec.add_BC('v', 'v', zb.dirichlet_row(z_top), BCs['v_top'], line=-1)
+        # the v-bottom condition is redundant at kx=0 (divergence + v_top
+        # pin v there); reference adds it then removes the kx=0 copy
+        spec.add_BC('v', 'v', zb.dirichlet_row(z_bot), BCs['v_bottom'], line=-2, not_at_zero=True)
+        spec.add_BC('u', 'u', zb.dirichlet_row(z_top), BCs['u_top'], line=-2)
+        spec.add_BC('u', 'u', zb.dirichlet_row(z_bot), BCs['u_bottom'], line=-1)
+        spec.setup_operators()
+
+        # base changes back to T coefficients per equation row
+        self._S2_inv = np.linalg.inv(U02)
+        self._S1_inv = np.linalg.inv(U01)
+        # T-space first derivative for convection terms
+        self._Dz_T = self._S1_inv @ D1
+
+        # padded Chebyshev transforms for dealiasing
+        self._z_pad_bwd = zb.padded_itransform_matrix(dealiasing)
+        self._z_pad_fwd = zb.padded_transform_matrix(dealiasing)
+
+        self.work_counters['rhs'] = WorkCounter()
+
+    # -- grids ----------------------------------------------------------
+    @property
+    def X(self):
+        return jnp.meshgrid(jnp.asarray(self.xb.nodes), jnp.asarray(self.zb.nodes), indexing='ij')[0]
+
+    @property
+    def Z(self):
+        return jnp.meshgrid(jnp.asarray(self.xb.nodes), jnp.asarray(self.zb.nodes), indexing='ij')[1]
+
+    # -- dealiased products ---------------------------------------------
+    def _pad_to_real(self, u_hat):
+        """coefficients (C, nx, nz) -> padded real grid (C, Nxp, Nzp)."""
+        pad = self.dealiasing
+        u_hat = self.xb.pad(u_hat, axis=1, factor=pad)
+        u_hat = self.zb.pad(u_hat, axis=2, factor=pad)
+        u = jnp.tensordot(jnp.asarray(self._z_pad_bwd, u_hat.dtype), u_hat, axes=(1, 2)).transpose(1, 2, 0)
+        u = jnp.fft.ifft(u, axis=1, norm='forward')
+        return jnp.real(u)
+
+    def _real_to_unpad(self, u_pad):
+        pad = self.dealiasing
+        u_hat = jnp.fft.fft(u_pad.astype(complex), axis=1, norm='forward')
+        u_hat = jnp.tensordot(jnp.asarray(self._z_pad_fwd, u_hat.dtype), u_hat, axes=(1, 2)).transpose(1, 2, 0)
+        u_hat = self.xb.unpad(u_hat, axis=1, factor=pad)
+        return u_hat[:, :, : self.nz]
+
+    # -- protocol --------------------------------------------------------
+    def eval_f(self, u, t):
+        self.work_counters['rhs']()
+        spec = self.spec
+        u_hat = spec.transform(u)
+
+        # implicit part: -L u, transformed back to the T basis per equation
+        Lu = spec.apply_operator(spec.L_all, u_hat)
+        S2i = jnp.asarray(self._S2_inv, Lu.dtype)
+        S1i = jnp.asarray(self._S1_inv, Lu.dtype)
+        base = jnp.stack(
+            [
+                jnp.tensordot(S2i, Lu[0], axes=(1, 1)).T,
+                jnp.tensordot(S2i, Lu[1], axes=(1, 1)).T,
+                jnp.tensordot(S2i, Lu[2], axes=(1, 1)).T,
+                jnp.tensordot(S1i, Lu[3], axes=(1, 1)).T,
+            ]
+        )
+        impl = -spec.itransform(base)
+
+        # explicit part: dealiased convection
+        kx = jnp.asarray(self.xb.k)
+        Dx_u_hat = u_hat * (1j * kx)[None, :, None]
+        Dz_u_hat = jnp.tensordot(jnp.asarray(self._Dz_T, u_hat.dtype), u_hat, axes=(1, 2)).transpose(1, 2, 0)
+
+        u_pad = self._pad_to_real(u_hat)
+        Dx_pad = self._pad_to_real(Dx_u_hat)
+        Dz_pad = self._pad_to_real(Dz_u_hat)
+
+        iu, iv, iT = 0, 1, 2
+        conv = jnp.stack(
+            [
+                -(u_pad[iu] * Dx_pad[iu] + u_pad[iv] * Dz_pad[iu]),
+                -(u_pad[iu] * Dx_pad[iv] + u_pad[iv] * Dz_pad[iv]),
+                -(u_pad[iu] * Dx_pad[iT] + u_pad[iv] * Dz_pad[iT]),
+                jnp.zeros_like(u_pad[0]),
+            ]
+        )
+        expl_hat = self._real_to_unpad(conv)
+        expl = spec.itransform(expl_hat)
+        return IMEX(impl=impl, expl=expl)
+
+    def solve_system(self, rhs, factor, u0, t):
+        return self.spec.solve_shifted(rhs, factor)
+
+    def u_exact(self, t=0, noise_level=1e-3, seed=99):
+        assert float(t) == 0
+        BCs, Lz, z0 = self.BCs, self.Lz, self.z0
+        Z = self.Z
+        me = jnp.zeros(self.shape, self.dtype)
+        # linear background profiles between the plate values
+        for i, comp in enumerate(['u', 'v', 'T']):
+            a = (BCs[f'{comp}_top'] - BCs[f'{comp}_bottom']) / Lz
+            b = BCs[f'{comp}_bottom'] - a * z0
+            me = me.at[i].set(a * Z + b)
+        # temperature noise vanishing at the plates
+        rng = np.random.default_rng(seed)
+        noise = jnp.asarray(rng.random((self.nx, self.nz)), self.dtype)
+        me = me.at[2].add(noise_level * noise * (Z - z0) * (z0 + Lz - Z))
+        return me
+
+    # -- diagnostics (reference RayleighBenard.py:417-495) ---------------
+    def compute_Nusselt_numbers(self, u):
+        """Nu = Lz * <vT/kappa - T_z>; conductive state gives Nu = 1
+        (reference RayleighBenard.py:417-470)."""
+        u_hat = self.spec.transform(u)
+        iv, iT = 1, 2
+        Tz_hat = jnp.tensordot(jnp.asarray(self._Dz_T, u_hat.dtype), u_hat[iT], axes=(1, 1)).T
+        vT_hat = self.spec.transform((u[iv] * u[iT])[None])[0]
+        flux_hat = (vT_hat / self.kappa - Tz_hat) * self.Lz
+        # horizontal mean = kx=0 mode; z-integral/evaluations via tau rows
+        row = jnp.asarray(self.zb.integral_row(), flux_hat.dtype)
+        integ = jnp.real(jnp.tensordot(row, flux_hat[0], axes=(0, 0))) / self.Lz
+        top_row = jnp.asarray(self.zb.dirichlet_row(self.z0 + self.Lz), flux_hat.dtype)
+        bot_row = jnp.asarray(self.zb.dirichlet_row(self.z0), flux_hat.dtype)
+        nu_top = jnp.real(jnp.tensordot(top_row, flux_hat[0], axes=(0, 0)))
+        nu_bot = jnp.real(jnp.tensordot(bot_row, flux_hat[0], axes=(0, 0)))
+        return {'V': float(integ), 't': float(nu_top), 'b': float(nu_bot)}
+
+    def compute_vorticity(self, u):
+        u_hat = self.spec.transform(u)
+        kx = jnp.asarray(self.xb.k)
+        vx_hat = u_hat[1] * (1j * kx)[:, None]
+        uz_hat = jnp.tensordot(jnp.asarray(self._Dz_T, u_hat.dtype), u_hat[0], axes=(1, 1)).T
+        return self.spec.itransform((vx_hat - uz_hat)[None])[0]
+
+
+class CFLLimit:
+    """Convergence controller: dt limited by the convective CFL condition
+    (reference RayleighBenard.py:495).  Usable with any controller."""
+
+    def __new__(cls, *args, **kwargs):
+        from pysdc_tpu.core.convergence import ConvergenceController
+
+        class _CFLLimit(ConvergenceController):
+            def setup(self, controller, params, description, **kw):
+                return {'control_order': -50, 'cfl': 0.4, 'dt_max': np.inf, **super().setup(controller, params, description, **kw)}
+
+            def post_step_processing(self, controller, S, **kw):
+                L = S.levels[0]
+                P = L.prob
+                u = np.asarray(L.uend if L.uend is not None else L.state.u[-1])
+                dx = P.Lx / P.nx
+                dz_min = float(np.min(np.diff(np.asarray(P.zb.nodes))))
+                umax = max(float(np.max(np.abs(u[0]))), 1e-10)
+                vmax = max(float(np.max(np.abs(u[1]))), 1e-10)
+                dt_cfl = self.params.cfl * min(dx / umax, dz_min / vmax)
+                L.status.dt_new = min(dt_cfl, self.params.dt_max)
+
+        return _CFLLimit(*args, **kwargs)

@@ -1,0 +1,327 @@
+"""Spectral bases and tensor-product linear problems, TPU-native.
+
+Counterpart of the reference ``helpers/spectral_helper.py`` (2,102 LoC:
+ChebychevHelper, UltrasphericalHelper, FFT helper, SpectralHelper with BC
+insertion) and ``generic_spectral.py`` (GenericSpectralLinear with cached
+sparse LU).  The TPU redesign:
+
+  - Chebyshev transforms are dense cosine matrices applied with ``tensordot``
+    — MXU matmuls instead of DCTs (for the N<=512 z-resolutions used here a
+    dense transform is faster on TPU than an awkward FFT-based DCT).
+  - The ultraspherical method's differentiation/conversion ladders
+    (Olver & Townsend) are small dense numpy matrices built once.
+  - ``M u_t + L u = rhs`` problems on (Fourier x) x (ultraspherical z) grids
+    decouple per Fourier mode: instead of one global Kronecker sparse LU
+    (generic_spectral.py:308-330), the solver assembles a *stacked* array of
+    per-mode dense blocks (nx, C*nz, C*nz) and does one batched
+    ``jnp.linalg.solve`` — dt stays traced, so adaptive steps never refactor.
+  - Boundary conditions are tau lines: rows of (M + dt L) are masked and
+    replaced by constant BC rows at assembly time inside the jitted solve.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class FourierBase1D:
+    """Periodic Fourier basis on [x0, x1)."""
+
+    kind = 'fft'
+
+    def __init__(self, N, x0=0.0, x1=1.0):
+        self.N = N
+        self.x0, self.x1 = float(x0), float(x1)
+        self.L = self.x1 - self.x0
+        self.nodes = self.x0 + np.arange(N) * self.L / N
+        self.k = 2 * np.pi * np.fft.fftfreq(N, d=1.0 / N) / self.L
+
+    def transform(self, u, axis):
+        return jnp.fft.fft(u, axis=axis, norm='forward')
+
+    def itransform(self, u_hat, axis):
+        return jnp.fft.ifft(u_hat, axis=axis, norm='forward')
+
+    def pad(self, u_hat, axis, factor):
+        """Zero-pad the spectrum for dealiasing (3/2-rule)."""
+        N = self.N
+        Np = int(np.ceil(N * factor))
+        pads = [(0, 0)] * u_hat.ndim
+        u_shifted = jnp.fft.fftshift(u_hat, axes=axis)
+        pads[axis] = ((Np - N) // 2, Np - N - (Np - N) // 2)
+        return jnp.fft.ifftshift(jnp.pad(u_shifted, pads), axes=axis)
+
+    def unpad(self, u_hat_pad, axis, factor):
+        N = self.N
+        Np = u_hat_pad.shape[axis]
+        u_shifted = jnp.fft.fftshift(u_hat_pad, axes=axis)
+        lo = (Np - N) // 2
+        sl = [slice(None)] * u_hat_pad.ndim
+        sl[axis] = slice(lo, lo + N)
+        return jnp.fft.ifftshift(u_shifted[tuple(sl)], axes=axis)
+
+    def nyquist_index(self):
+        return self.N // 2 if self.N % 2 == 0 else None
+
+
+class UltrasphericalBase1D:
+    """Chebyshev-T basis with ultraspherical differentiation on [x0, x1].
+
+    Nodes are Chebyshev-Gauss points; transforms are dense cosine matmuls.
+    ``diff_matrix(p)`` maps T coefficients to C^(p) coefficients;
+    ``conv_matrix(a, b)`` converts C^(a) -> C^(b) (a < b; T == C^(0) here,
+    with the usual convention that "C^(0)" means the T basis).
+    """
+
+    kind = 'ultraspherical'
+
+    def __init__(self, N, x0=-1.0, x1=1.0):
+        self.N = N
+        self.x0, self.x1 = float(x0), float(x1)
+        self.L = self.x1 - self.x0
+        # map reference x in [-1, 1] -> physical
+        i = np.arange(N)
+        theta = (2 * i + 1) * np.pi / (2 * N)
+        self.x_ref = np.cos(theta)[::-1]  # ascending
+        self.nodes = self.x0 + (self.x_ref + 1) / 2 * self.L
+        # forward transform matrix: values at nodes -> T coefficients
+        n = np.arange(N)
+        C = np.cos(np.outer(n, np.arccos(self.x_ref)))  # C[n, i] = T_n(x_i)
+        w = np.full(N, 2.0 / N)
+        w[0] = 1.0 / N
+        self._fwd = (C * w[:, None])  # a = fwd @ v
+        self._bwd = C.T  # v = bwd @ a
+
+    # -- transforms ------------------------------------------------------
+    def transform(self, u, axis):
+        return jnp.moveaxis(
+            jnp.tensordot(jnp.asarray(self._fwd, u.dtype), u, axes=(1, axis)), 0, axis
+        )
+
+    def itransform(self, u_hat, axis):
+        return jnp.moveaxis(
+            jnp.tensordot(jnp.asarray(self._bwd, u_hat.dtype), u_hat, axes=(1, axis)), 0, axis
+        )
+
+    def pad(self, u_hat, axis, factor):
+        Np = int(np.ceil(self.N * factor))
+        pads = [(0, 0)] * u_hat.ndim
+        pads[axis] = (0, Np - self.N)
+        return jnp.pad(u_hat, pads)
+
+    def padded_itransform_matrix(self, factor):
+        """Backward transform evaluating padded coefficients on a finer
+        Chebyshev grid (for dealiased products)."""
+        Np = int(np.ceil(self.N * factor))
+        i = np.arange(Np)
+        theta = (2 * i + 1) * np.pi / (2 * Np)
+        x = np.cos(theta)[::-1]
+        n = np.arange(Np)
+        return np.cos(np.outer(np.arccos(x), n))  # (Np, Np): v_pad = B @ a_pad
+
+    def padded_transform_matrix(self, factor):
+        Np = int(np.ceil(self.N * factor))
+        i = np.arange(Np)
+        theta = (2 * i + 1) * np.pi / (2 * Np)
+        x = np.cos(theta)[::-1]
+        n = np.arange(Np)
+        C = np.cos(np.outer(n, np.arccos(x)))
+        w = np.full(Np, 2.0 / Np)
+        w[0] = 1.0 / Np
+        return C * w[:, None]  # (Np, Np): a_pad = F @ v_pad
+
+    # -- ultraspherical ladders (Olver & Townsend 2013) ------------------
+    def diff_matrix(self, p=1):
+        """d^p/dx^p : T -> C^(p); D[n-p, n] = 2^(p-1) (p-1)! n, scaled by
+        the domain map (2/L)^p."""
+        N = self.N
+        D = np.zeros((N, N))
+        for n in range(p, N):
+            D[n - p, n] = 2.0 ** (p - 1) * math.factorial(p - 1) * n
+        return D * (2.0 / self.L) ** p
+
+    def conv_matrix(self, a=0, b=1):
+        """Conversion C^(a) -> C^(b) for a < b (a=0 means the T basis)."""
+        N = self.N
+        out = np.eye(N)
+        for lam in range(a, b):
+            S = np.zeros((N, N))
+            if lam == 0:
+                S[0, 0] = 1.0
+                for n in range(1, N):
+                    S[n, n] = 0.5
+                for n in range(0, N - 2):
+                    S[n, n + 2] = -0.5
+            else:
+                for n in range(N):
+                    S[n, n] = lam / (n + lam)
+                for n in range(0, N - 2):
+                    S[n, n + 2] = -lam / (n + 2 + lam)
+            out = S @ out
+        return out
+
+    # -- boundary rows ---------------------------------------------------
+    def dirichlet_row(self, x):
+        """Row evaluating a T series at physical x (x0 or x1 typically)."""
+        x_ref = 2 * (x - self.x0) / self.L - 1.0
+        n = np.arange(self.N)
+        return np.cos(n * np.arccos(np.clip(x_ref, -1, 1)))
+
+    def integral_row(self):
+        """Row computing the integral of a T series over the domain."""
+        n = np.arange(self.N)
+        row = np.zeros(self.N)
+        even = n % 2 == 0
+        row[even] = 2.0 / (1.0 - n[even] ** 2)
+        return row * self.L / 2.0
+
+
+class SpectralLinearProblemBase:
+    """``M u_t + L u = rhs`` on an optional (Fourier x) x (ultraspherical z)
+    grid with several components.
+
+    Subclasses provide component names and fill ``L_blocks`` / ``M_blocks``
+    as dicts ``{equation: {component: term}}`` where each term is a list of
+    ``(x_power, z_matrix)`` tuples: the x-part contributes ``(1j*kx)**x_power``
+    and the z-part is an (nz, nz) numpy matrix in coefficient space.
+    BCs are added with :meth:`add_BC` and replace tau lines per Fourier mode.
+    """
+
+    def __init__(self, components, x_base: FourierBase1D | None, z_base: UltrasphericalBase1D):
+        self.components = list(components)
+        self.ncomp = len(components)
+        self.x_base = x_base
+        self.z_base = z_base
+        self.nx = x_base.N if x_base is not None else 1
+        self.nz = z_base.N
+        self._L = {}
+        self._M = {}
+        self._bcs = []
+
+    def index(self, comp):
+        if isinstance(comp, (list, tuple)):
+            return [self.components.index(c) for c in comp]
+        return self.components.index(comp)
+
+    def set_L(self, blocks):
+        self._L = blocks
+
+    def set_M(self, blocks):
+        self._M = blocks
+
+    def add_BC(self, component, equation, row, value, line, zero_only=False, not_at_zero=False):
+        """Add a tau line: ``row`` (length nz) applied to ``component``'s z
+        coefficients, inserted at z-line ``line`` of ``equation``'s block.
+        ``value`` enters the rhs at the kx=0 mode; ``zero_only`` restricts
+        the row to the kx=0 mode, ``not_at_zero`` to all modes except kx=0
+        (the reference's add_BC/remove_BC scalar dance,
+        RayleighBenard.py:166-183)."""
+        self._bcs.append(
+            dict(component=component, equation=equation, row=np.asarray(row, complex), value=value,
+                 line=line, zero_only=zero_only, not_at_zero=not_at_zero)
+        )
+
+    # ------------------------------------------------------------------
+    def _assemble_block(self, blocks, kx):
+        """(C*nz, C*nz) complex matrix for one Fourier mode."""
+        C, nz = self.ncomp, self.nz
+        A = np.zeros((C * nz, C * nz), dtype=complex)
+        for eq, row_blocks in blocks.items():
+            ie = self.index(eq)
+            for comp, terms in row_blocks.items():
+                ic = self.index(comp)
+                for x_pow, zmat in terms:
+                    fac = (1j * kx) ** x_pow if x_pow > 0 else 1.0
+                    A[ie * nz : (ie + 1) * nz, ic * nz : (ic + 1) * nz] += fac * np.asarray(zmat, complex)
+        return A
+
+    def setup_operators(self):
+        """Build stacked per-mode matrices + BC masks (host, once)."""
+        ks = self.x_base.k if self.x_base is not None else np.zeros(1)
+        nx, C, nz = self.nx, self.ncomp, self.nz
+        L_all = np.stack([self._assemble_block(self._L, k) for k in ks])
+        M_all = np.stack([self._assemble_block(self._M, k) for k in ks])
+
+        # BC machinery: keep_mask zeroes replaced lines; bc_rows holds the
+        # constant rows; bc_rhs the per-mode right-hand-side values
+        keep = np.ones((nx, C * nz), dtype=bool)
+        bc_rows = np.zeros((nx, C * nz, C * nz), dtype=complex)
+        bc_rhs = np.zeros((nx, C * nz), dtype=complex)
+        for bc in self._bcs:
+            ie = self.index(bc['equation'])
+            ic = self.index(bc['component'])
+            line = bc['line'] % nz
+            row_idx = ie * nz + line
+            if bc['zero_only']:
+                modes = [0]
+            elif bc['not_at_zero']:
+                modes = range(1, nx)
+            else:
+                modes = range(nx)
+            for m in modes:
+                keep[m, row_idx] = False
+                bc_rows[m, row_idx, :] = 0.0
+                bc_rows[m, row_idx, ic * nz : (ic + 1) * nz] = bc['row']
+                bc_rhs[m, row_idx] = 0.0
+            bc_rhs[0, row_idx] = bc['value']
+
+        # Nyquist mode: project out entirely (reference eliminates it)
+        if self.x_base is not None and self.x_base.nyquist_index() is not None:
+            m = self.x_base.nyquist_index()
+            keep[m, :] = False
+            bc_rows[m] = np.eye(C * nz)
+            bc_rhs[m] = 0.0
+
+        self.L_all = jnp.asarray(L_all)
+        self.M_all = jnp.asarray(M_all)
+        self.keep_mask = jnp.asarray(keep)
+        self.bc_rows = jnp.asarray(bc_rows)
+        self.bc_rhs_vec = jnp.asarray(bc_rhs)
+
+    # -- transforms over the full (C, nx, nz) state ----------------------
+    def transform(self, u):
+        """real space (C, nx, nz) -> coefficients (complex)."""
+        x_axis, z_axis = 1, 2
+        u_hat = u.astype(complex)
+        if self.x_base is not None:
+            u_hat = self.x_base.transform(u_hat, axis=x_axis)
+        u_hat = self.z_base.transform(u_hat, axis=z_axis)
+        return u_hat
+
+    def itransform(self, u_hat):
+        x_axis, z_axis = 1, 2
+        u = self.z_base.itransform(u_hat, axis=z_axis)
+        if self.x_base is not None:
+            u = self.x_base.itransform(u, axis=x_axis)
+        return jnp.real(u)
+
+    def apply_operator(self, Op_all, u_hat):
+        """Apply stacked per-mode operator: (nx, CN, CN) @ (C, nx, nz)."""
+        C, nx, nz = self.ncomp, self.nx, self.nz
+        v = jnp.transpose(u_hat, (1, 0, 2)).reshape(nx, C * nz)
+        out = jnp.einsum('xab,xb->xa', Op_all, v)
+        return jnp.transpose(out.reshape(nx, C, nz), (1, 0, 2))
+
+    def solve_shifted(self, rhs, factor):
+        """Solve (M + factor*L) u = M rhs with BC tau lines, batched over
+        Fourier modes.  ``factor`` is traced; rhs in real space."""
+        C, nx, nz = self.ncomp, self.nx, self.nz
+        rhs_hat = self.transform(rhs)
+        b = self.apply_operator(self.M_all, rhs_hat)
+        b = jnp.transpose(b, (1, 0, 2)).reshape(nx, C * nz)
+        b = jnp.where(self.keep_mask, b, self.bc_rhs_vec)
+
+        A = (self.M_all + factor * self.L_all) * self.keep_mask[:, :, None] + self.bc_rows
+        x = jnp.linalg.solve(A, b[..., None])[..., 0]
+        u_hat = jnp.transpose(x.reshape(nx, C, nz), (1, 0, 2))
+        return self.itransform(u_hat)
+
+    def apply_L(self, u):
+        """L @ u in real space (for the implicit RHS evaluation)."""
+        u_hat = self.transform(u)
+        out_hat = self.apply_operator(self.L_all, u_hat)
+        return self.itransform(out_hat)

@@ -1,0 +1,88 @@
+"""Native C++ ionic models vs JAX implementations + monodomain propagation
+(mirrors the reference Monodomain project tests, which first compile the C++
+and then exercise the models)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pysdc_tpu.models.ionic import BiStableJAX, HodgkinHuxleyJAX, NativeIonicModel
+from pysdc_tpu.models.monodomain import MonodomainIMEX
+from pysdc_tpu.parallel.nonmpi import ControllerNonMPI
+from pysdc_tpu.sweepers.imex import IMEXSweeper
+
+
+@pytest.fixture(scope='module')
+def rng_states():
+    rng = np.random.default_rng(5)
+    V = rng.uniform(-90.0, 40.0, 64)
+    gates = rng.uniform(0.01, 0.99, (3, 64))
+    return V, gates
+
+
+def test_native_library_builds_and_matches_jax_bistable(rng_states):
+    V, _ = rng_states
+    native = NativeIonicModel('bistable', scale=1.3)
+    jaxm = BiStableJAX(scale=1.3)
+    y = V[None, :]
+    assert np.allclose(native.f(y), np.asarray(jaxm.f(jnp.asarray(y))), rtol=1e-14)
+    assert native.initial_values()[0] == float(jaxm.initial_values()[0])
+    assert native.rho_f_expl() == jaxm.rho_f_expl()
+
+
+def test_native_library_matches_jax_hodgkinhuxley(rng_states):
+    V, gates = rng_states
+    native = NativeIonicModel('hodgkinhuxley', scale=1.0)
+    jaxm = HodgkinHuxleyJAX(scale=1.0)
+    y = np.concatenate([V[None, :], gates], axis=0)
+    yj = jnp.asarray(y)
+
+    assert np.allclose(native.f(y), np.asarray(jaxm.f(yj)), rtol=1e-13)
+    assert np.allclose(native.f_expl(y), np.asarray(jaxm.f_expl(yj)), rtol=1e-13)
+    assert np.allclose(native.lmbda_exp(y), np.asarray(jaxm.lmbda_exp(yj)), rtol=1e-13)
+    lm_n, yi_n = native.lmbda_yinf_exp(y)
+    lm_j, yi_j = jaxm.lmbda_yinf_exp(yj)
+    assert np.allclose(lm_n, np.asarray(lm_j), rtol=1e-13)
+    assert np.allclose(yi_n, np.asarray(yi_j), rtol=1e-13)
+    assert np.allclose(native.initial_values(), np.asarray(jaxm.initial_values()))
+
+
+def test_hh_single_cell_action_potential():
+    """A stimulated HH cell must fire an action potential (V > 0) and
+    repolarize; checked against scipy on the pure ODE."""
+    from scipy.integrate import solve_ivp
+
+    m = HodgkinHuxleyJAX()
+    y0 = np.asarray(m.initial_values())
+
+    def rhs(t, y):
+        out = np.array(m.f(jnp.asarray(y[:, None])))[:, 0]
+        out[0] += 20.0 if t < 2.0 else 0.0  # stimulus
+        return out
+
+    sol = solve_ivp(rhs, (0, 20.0), y0, rtol=1e-8, atol=1e-8, dense_output=True)
+    V = sol.y[0]
+    assert V.max() > 0.0, 'no action potential fired'
+    assert V[-1] < -50.0, 'did not repolarize'
+
+
+def test_monodomain_wave_propagates():
+    desc = dict(
+        problem_class=MonodomainIMEX,
+        problem_params=dict(nvars=128, ionic_model='hodgkinhuxley', diff=0.1, L=10.0,
+                            stim_dur=2.0, stim_ampl=40.0),
+        sweeper_class=IMEXSweeper,
+        sweeper_params=dict(num_nodes=3, QI='LU'),
+        level_params=dict(dt=0.05, restol=1e-8),
+        step_params=dict(maxiter=20),
+    )
+    c = ControllerNonMPI(1, {'logger_level': 40}, desc)
+    P = c.MS[0].levels[0].prob
+    u0 = P.u_exact(0.0)
+    uend, _ = c.run(u0, 0.0, 8.0)
+    V = np.asarray(uend[0])
+    assert np.isfinite(V).all()
+    # the action potential must have spread beyond the stimulus region
+    assert V.max() > 0.0, 'no depolarization'
+    far = V[len(V) // 3 : len(V) // 2]
+    assert far.max() > -60.0, 'wave did not propagate'
