@@ -78,7 +78,7 @@ class Level:
         # mutable problem scalars (e.g. newton_tol driven by the
         # NewtonInexactness policy) enter the trace as *arguments*, so host
         # changes take effect without retracing
-        self._traced_keys = tuple(k for k in ('newton_tol',) if hasattr(prob, k))
+        self._traced_keys = tuple(k for k in ('newton_tol', 't_switch') if hasattr(prob, k))
 
         def _with_overrides(fn, overrides):
             old = {key: getattr(prob, key) for key in overrides}
@@ -103,7 +103,9 @@ class Level:
             self._update_fn = jax.jit(_update, static_argnums=(3,))
 
         self._residual_fn = jax.jit(
-            functools.partial(sweep.compute_residual, residual_type=self.params.residual_type)
+            lambda state, dt, t: sweep.compute_residual(
+                state, dt, residual_type=self.params.residual_type, t=t
+            )
         )
         self._endpoint_fn = jax.jit(sweep.compute_end_point)
         if hasattr(sweep, 'compute_end_point_with_secondary'):
@@ -189,7 +191,7 @@ class Level:
         if stage in self.sweep.skip_residual_computation:
             self.status.residual = 0.0 if self.status.residual is None else self.status.residual
             return
-        self.residual, self.status.residual = self._residual_fn(self.state, self.params.dt)
+        self.residual, self.status.residual = self._residual_fn(self.state, self.params.dt, self.status.time)
         self.status.updated = False
 
     def compute_end_point(self):

@@ -127,7 +127,7 @@ class Sweeper:
         ft = f_total(state.f)[1:]
         return dt * _tensordot_nodes(self.coll.q, ft)
 
-    def compute_residual(self, state: LevelState, dt, residual_type: str = 'full_abs'):
+    def compute_residual(self, state: LevelState, dt, residual_type: str = 'full_abs', t=0.0):
         """Collocation residual and its norm (reference sweeper.py:164-222).
 
         Returns ``(residual_nodes, norm)`` with residual_nodes (M, *shape).

@@ -151,3 +151,63 @@ class Auzinger(NewtonODE):
 
     def u_exact(self, t, u_init=None, t_init=0.0):
         return jnp.stack([jnp.cos(t), jnp.sin(t)]).astype(self.dtype)
+
+
+class DiscontinuousTestODE(NewtonODE):
+    """Scalar ODE with one discrete event at t* = log(5)
+    (reference DiscontinuousTestODE.py): u' = u while u < 5, then u' = 4/t*.
+    Exact: u = exp(t) for t <= t*, u = 4 t / t* + 1 after."""
+
+    t_star = float(np.log(5.0))
+
+    def __init__(self, newton_tol=1e-12, newton_maxiter=100, dtype=None):
+        super().__init__((1,), newton_tol, newton_maxiter, dtype)
+        self._register(t_switch=np.inf, nswitches=0)
+
+    def eval_f(self, u, t):
+        self.work_counters['rhs']()
+        switched = jnp.logical_or(u[0] - 5.0 >= 0, t >= self.t_switch)
+        return jnp.where(switched, 4.0 / self.t_star * jnp.ones_like(u), u)
+
+    def solve_system(self, rhs, factor, u0, t):
+        self.work_counters['newton']()
+        switched = jnp.logical_or(rhs[0] - 5.0 >= 0, t >= self.t_switch)
+        u_smooth = rhs / (1.0 - factor)
+        u_switched = rhs + factor * 4.0 / self.t_star
+        return jnp.where(switched, u_switched, u_smooth)
+
+    def u_exact(self, t, u_init=None, t_init=0.0):
+        t_star = self.t_star
+        val = jnp.where(t <= t_star, jnp.exp(t), 4.0 * t / t_star + 1.0)
+        return jnp.full((1,), val, self.dtype)
+
+    def get_switching_info(self, u_nodes, t):
+        u_nodes = [np.asarray(u) for u in u_nodes]
+        switch_detected, m_guess = False, -100
+        for m in range(1, len(u_nodes)):
+            if u_nodes[m - 1][0] - 5.0 < 0 and u_nodes[m][0] - 5.0 >= 0:
+                switch_detected = True
+                m_guess = m - 1
+                break
+        state_function = [float(u[0] - 5.0) for u in u_nodes]
+        return switch_detected, m_guess, state_function
+
+    def count_switches(self):
+        self.nswitches += 1
+
+
+class ProtheroRobinson(NewtonODE):
+    """Classic stiff Prothero-Robinson problem
+    (reference parallelSDC_reloaded/protheroRobinson): u' = -(u - g(t))/eps + g'(t),
+    exact solution u = g(t) = cos(t)."""
+
+    def __init__(self, epsilon=1e-3, newton_tol=1e-12, newton_maxiter=100, dtype=None):
+        super().__init__((1,), newton_tol, newton_maxiter, dtype)
+        self._register(epsilon=epsilon)
+
+    def eval_f(self, u, t):
+        self.work_counters['rhs']()
+        return -(u - jnp.cos(t)) / self.epsilon - jnp.sin(t)
+
+    def u_exact(self, t, u_init=None, t_init=0.0):
+        return jnp.full((1,), jnp.cos(t), self.dtype)

@@ -174,3 +174,81 @@ class OuterSolarSystem(Problem):
         mm = self.masses[:, None] * self.masses[None, :]
         pot = -self.G * jnp.sum(jnp.triu(mm / r, k=1))
         return kin + pot
+
+
+class EMFields(NamedTuple):
+    """E and B fields per particle (the Boris sweeper's RHS container,
+    reference datatype_classes/particles.py fields type)."""
+
+    elec: jnp.ndarray  # (3, N)
+    magn: jnp.ndarray  # (3, N)
+
+
+class PenningTrap3D(Problem):
+    """Charged particles in a Penning trap (reference PenningTrap_3D.py):
+    external quadrupole E field + axial B field + smoothed pairwise Coulomb
+    interactions.  Used with the Boris SDC sweeper."""
+
+    def __init__(self, omega_B=25.0, omega_E=4.9, u0=None, nparts=1, sig=0.1, dtype=None):
+        super().__init__(shape=(3, nparts), dtype=dtype)
+        u0 = u0 if u0 is not None else (np.array([10.0, 0.0, 0.0]), np.array([100.0, 0.0, 100.0]), 1.0, 1.0)
+        self._register(omega_B=omega_B, omega_E=omega_E, u0=u0, nparts=nparts, sig=sig)
+        self.q = jnp.full((nparts,), float(u0[2]))
+        self.m = jnp.full((nparts,), float(u0[3]))
+        self.work_counters['rhs'] = WorkCounter()
+        self.work_counters['Boris_solver'] = WorkCounter()
+
+    def _interactions(self, pos):
+        """Smoothed pairwise Coulomb field (reference fast_interactions)."""
+        diff = pos[:, :, None] - pos[:, None, :]  # (3, i, j) = x_i - x_j
+        dist2 = jnp.sum(diff**2, axis=0) + self.sig**2
+        w = self.q[None, :] / dist2**1.5
+        w = w * (1.0 - jnp.eye(self.nparts))
+        return jnp.einsum('dij,ij->di', diff, w)
+
+    def eval_f(self, part: Particles, t):
+        self.work_counters['rhs']()
+        Emat = jnp.diag(jnp.asarray([1.0, 1.0, -2.0]))
+        alpha = self.q / self.m
+        elec = self._interactions(part.pos) + self.omega_E**2 / alpha * (Emat @ part.pos)
+        magn = jnp.zeros_like(part.pos).at[2].set(self.omega_B)
+        return EMFields(elec=elec, magn=magn)
+
+    def build_f(self, f: EMFields, part: Particles, t):
+        """Acceleration from fields: q/m (E + v x B) (reference :305-333)."""
+        alpha = self.q / self.m
+        return alpha * (f.elec + jnp.cross(part.vel, f.magn, axis=0))
+
+    def boris_solver(self, c, dt, old_fields: EMFields, new_fields: EMFields, old_parts: Particles):
+        """Boris rotation velocity update with the SDC c-term
+        (reference :336-377), vectorized over particles."""
+        self.work_counters['Boris_solver']()
+        alpha = self.q / self.m
+        Emean = 0.5 * (old_fields.elec + new_fields.elec)
+        c = c + dt / 2 * alpha * jnp.cross(old_parts.vel, old_fields.magn - new_fields.magn, axis=0)
+        vm = old_parts.vel + dt / 2 * alpha * Emean + c / 2
+        t_vec = dt / 2 * alpha * new_fields.magn
+        s = 2 * t_vec / (1.0 + jnp.sum(t_vec**2, axis=0))
+        vp = vm + jnp.cross(vm + jnp.cross(vm, t_vec, axis=0), s, axis=0)
+        return vp + dt / 2 * alpha * Emean + c / 2
+
+    def u_exact(self, t, u_init=None, t_init=0.0):
+        """Analytic single-particle trajectory (reference :252-303)."""
+        if self.nparts != 1:
+            raise NotImplementedError('u_exact is only valid for a single particle')
+        wE, wB = self.omega_E, self.omega_B
+        p0, v0 = np.asarray(self.u0[0]), np.asarray(self.u0[1])
+        wbar = np.sqrt(2) * wE
+        pos_z = p0[2] * jnp.cos(wbar * t) + v0[2] / wbar * jnp.sin(wbar * t)
+        vel_z = -p0[2] * wbar * jnp.sin(wbar * t) + v0[2] * jnp.cos(wbar * t)
+        Op = 0.5 * (wB + np.sqrt(wB**2 - 4 * wE**2))
+        Om = 0.5 * (wB - np.sqrt(wB**2 - 4 * wE**2))
+        Rm = (Op * p0[0] + v0[1]) / (Op - Om)
+        Rp = p0[0] - Rm
+        Im = (Op * p0[1] - v0[0]) / (Op - Om)
+        Ip = p0[1] - Im
+        w = (Rp + Ip * 1j) * jnp.exp(-Op * t * 1j) + (Rm + Im * 1j) * jnp.exp(-Om * t * 1j)
+        dw = -1j * Op * (Rp + Ip * 1j) * jnp.exp(-Op * t * 1j) - 1j * Om * (Rm + Im * 1j) * jnp.exp(-Om * t * 1j)
+        pos = jnp.stack([jnp.real(w), jnp.imag(w), pos_z])[:, None]
+        vel = jnp.stack([jnp.real(dw), jnp.imag(dw), vel_z])[:, None]
+        return Particles(pos=pos.astype(self.dtype), vel=vel.astype(self.dtype))

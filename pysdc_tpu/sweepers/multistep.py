@@ -66,7 +66,7 @@ class MultiStep(Sweeper):
         tau = jnp.zeros((1,) + u0.shape, u0.dtype)
         return LevelState(u=u, f=f, tau=tau)
 
-    def compute_residual(self, state, dt, residual_type='full_abs'):
+    def compute_residual(self, state, dt, residual_type='full_abs', t=0.0):
         return jnp.zeros_like(state.tau), jnp.zeros((), state.u.dtype)
 
     def update_nodes(self, prob, state: LevelState, t, dt, k: int = 0) -> LevelState:

@@ -107,7 +107,7 @@ class VerletSweeper(Sweeper):
         u = Particles(pos=jnp.stack(pos_list, 0), vel=jnp.stack(vel_list, 0))
         return LevelState(u=u, f=jnp.stack(f_list, 0), tau=state.tau)
 
-    def compute_residual(self, state: LevelState, dt, residual_type: str = 'full_abs'):
+    def compute_residual(self, state: LevelState, dt, residual_type: str = 'full_abs', t=0.0):
         integral = self.integrate(state, dt)
         res = Particles(
             pos=integral.pos + state.tau.pos + state.u.pos[0][None] - state.u.pos[1:],
