@@ -21,7 +21,7 @@ import time
 import numpy as np
 
 
-def bench_tpu(n=2048, M=4, iters=20, warmup=3):
+def bench_tpu(n=2048, M=4, k_inner=10, reps=4):
     import jax
     import jax.numpy as jnp
 
@@ -31,23 +31,27 @@ def bench_tpu(n=2048, M=4, iters=20, warmup=3):
     prob = HeatND(nvars=(n, n), nu=0.1, freq=2, bc='periodic', dtype=jnp.float32)
     sweep = GenericImplicit({'num_nodes': M, 'quad_type': 'RADAU-RIGHT', 'QI': 'LU'})
 
+    # k sweeps fused into one XLA program: the sustained-iteration fast path
+    # (host dispatch through the runtime costs ~1.7 ms per call otherwise)
     @jax.jit
-    def one_sweep(state, t, dt):
-        new = sweep.update_nodes(prob, state, t, dt, 0)
-        _, res = sweep.compute_residual(new, dt)
-        return new, res
+    def k_sweeps(state, t, dt):
+        def body(i, s):
+            return sweep.update_nodes(prob, s, t, dt, 0)
+
+        state = jax.lax.fori_loop(0, k_inner, body, state)
+        _, res = sweep.compute_residual(state, dt)
+        return state, res
 
     dt = jnp.asarray(0.01, jnp.float32)
     t = jnp.asarray(0.0, jnp.float32)
     state = sweep.predict(prob, prob.u_exact(0.0), t, dt, 0.0)
 
-    for _ in range(warmup):
-        state, res = one_sweep(state, t, dt)
+    state, res = k_sweeps(state, t, dt)
     float(res)  # full sync; block_until_ready is unreliable on the axon tunnel
 
     start = time.perf_counter()
-    for _ in range(iters):
-        state, res = one_sweep(state, t, dt)
+    for _ in range(reps):
+        state, res = k_sweeps(state, t, dt)
     float(res)  # forces the whole chain to complete before we stop the clock
     elapsed = time.perf_counter() - start
 
@@ -55,7 +59,7 @@ def bench_tpu(n=2048, M=4, iters=20, warmup=3):
     # the scipy CSR accounting: 2*ndim + 1 for the 2nd-order Laplacian
     nnz_per_dof = 2 * 2 + 1
     nnz_per_sweep = M * nnz_per_dof * n * n
-    return nnz_per_sweep * iters / elapsed, float(res)
+    return nnz_per_sweep * k_inner * reps / elapsed, float(res)
 
 
 def bench_scipy_reference(n=512, M=4, iters=5):

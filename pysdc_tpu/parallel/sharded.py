@@ -206,6 +206,17 @@ class ShardedController(Controller):
                 if not L.sweep.coll.right_is_node:
                     raise ControllerError('For PFASST to work, we assume uend^k = u_M^k')
 
+        # the rfft solve path hits an XLA fft-thunk layout RET_CHECK when the
+        # operand is GSPMD-sharded (host-emulated meshes); use the plain
+        # complex-FFT path for sharded runs
+        if mesh is not None:
+            from pysdc_tpu.ops.linop import SeparableFDOperator
+
+            for lvl in self.template.levels:
+                for attr in vars(lvl.prob).values():
+                    if isinstance(attr, SeparableFDOperator):
+                        attr._rfft_ok = False
+
         self.blocks = [_BlockLevel(lvl, num_procs, mesh) for lvl in self.template.levels]
         self.transfers = [
             _BlockTransfer(bt, self.blocks[i], self.blocks[i + 1])
