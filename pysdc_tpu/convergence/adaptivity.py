@@ -137,3 +137,62 @@ class AdaptivityResidual(AdaptivityBase):
             if res > self.params.e_tol:
                 S.status.restart = True
                 self.log(f'Restarting: residual={res:.2e} > e_tol={self.params.e_tol:.2e}', S)
+
+
+class AdaptivityPolynomialError(AdaptivityBase):
+    """Adaptivity from the polynomial (left-out-node) error estimate of the
+    *converged* collocation problem (reference adaptivity.py:831): iterate
+    to restol, then pick dt from the order-M estimate.  This is the
+    reference's recommended adaptivity for SDC with residual-based stopping.
+    """
+
+    def setup(self, controller, params, description, **kwargs):
+        defaults = {
+            'control_order': -50,
+            'e_tol': params.get('e_tol'),
+            'restol_rel': params.get('restol_rel', 1e-4),
+            'restol_min': params.get('restol_min', 1e-12),
+            'interpolate_between_restarts': False,
+        }
+        out = {**defaults, **super().setup(controller, params, description, **kwargs)}
+        if out['e_tol'] is None:
+            raise ParameterError('AdaptivityPolynomialError needs e_tol')
+        return out
+
+    def dependencies(self, controller, description, **kwargs):
+        from pysdc_tpu.convergence.estimate_polynomial_error import EstimatePolynomialError
+
+        super().dependencies(controller, description, **kwargs)
+        controller.add_convergence_controller(EstimatePolynomialError, description=description)
+
+    def get_new_step_size(self, controller, S, **kwargs):
+        from pysdc_tpu.convergence.check_convergence import CheckConvergence
+
+        if not CheckConvergence.check_convergence(S):
+            return
+        L = S.levels[0]
+        e_est = getattr(L.status, 'error_embedded_estimate', None)
+        order = getattr(L.status, 'order_embedded_estimate', None)
+        if e_est is None or order is None:
+            return
+        L.status.dt_new = self.compute_optimal_step_size(
+            self.params.beta, L.params.dt, self.params.e_tol, e_est, order
+        )
+        # link the residual tolerance to the error target (inexactness)
+        L.params.restol = max(self.params.restol_rel * self.params.e_tol, self.params.restol_min)
+        self.log(f'Adjusting step size from {L.params.dt:.2e} to {L.status.dt_new:.2e}', S)
+
+    def get_local_error_estimate(self, controller, S, **kwargs):
+        est = getattr(S.levels[0].status, 'error_embedded_estimate', None)
+        return est if est is not None else 0.0
+
+    def determine_restart(self, controller, S, **kwargs):
+        """Restart once the *converged* step's estimate exceeds e_tol
+        (reference AdaptivityForConvergedCollocationProblems:228)."""
+        from pysdc_tpu.convergence.check_convergence import CheckConvergence
+
+        if CheckConvergence.check_convergence(S):
+            e_est = self.get_local_error_estimate(controller, S)
+            if e_est >= self.params.e_tol:
+                S.status.restart = True
+                self.log(f'Restarting: e={e_est:.2e} >= e_tol={self.params.e_tol:.2e}', S)

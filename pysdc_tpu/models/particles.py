@@ -252,3 +252,100 @@ class PenningTrap3D(Problem):
         pos = jnp.stack([jnp.real(w), jnp.imag(w), pos_z])[:, None]
         vel = jnp.stack([jnp.real(dw), jnp.imag(dw), vel_z])[:, None]
         return Particles(pos=pos.astype(self.dtype), vel=vel.astype(self.dtype))
+
+
+class HenonHeiles(Problem):
+    """Henon-Heiles chaotic Hamiltonian system (reference HenonHeiles.py):
+    x'' = -x - 2 x y, y'' = -y - (x^2 - y^2)."""
+
+    def __init__(self, dtype=None):
+        super().__init__(shape=(2,), dtype=dtype)
+        self.work_counters['rhs'] = WorkCounter()
+
+    @property
+    def u_init(self):
+        return self.u_exact(0.0)
+
+    def eval_f(self, u: Particles, t):
+        self.work_counters['rhs']()
+        x, y = u.pos[0], u.pos[1]
+        return jnp.stack([-x - 2 * x * y, -y - (x**2 - y**2)])
+
+    def u_exact(self, t, u_init=None, t_init=0.0):
+        if float(t) != 0.0:
+            raise NotImplementedError('initial condition only')
+        q1 = 0.1
+        p0 = np.sqrt(2 * (1 / 12.0 - 0.5 * q1**2 + q1**3 / 3.0))  # H = 1/12 shell
+        return Particles(pos=jnp.asarray([0.0, q1], self.dtype), vel=jnp.asarray([p0, 0.0], self.dtype))
+
+    def eval_hamiltonian(self, u: Particles):
+        x, y = u.pos[0], u.pos[1]
+        return 0.5 * jnp.sum(u.vel**2) + 0.5 * (x**2 + y**2) + x**2 * y - y**3 / 3.0
+
+
+class FullSolarSystem(OuterSolarSystem):
+    """Ten-body solar system (reference FullSolarSystem.py): the outer solar
+    system plus the four inner planets; initial data from the reference."""
+
+    def __init__(self, sun_only=False, dtype=None):
+        Problem.__init__(self, shape=(3, 10), dtype=dtype)
+        self._register(sun_only=sun_only)
+        # masses relative to the sun (standard astronomical values)
+        self.masses = jnp.asarray(
+            [
+                1.00000597682,      # Sun (+ inner dust)
+                1.0 / 6023600.0,    # Mercury
+                1.0 / 408523.5,     # Venus
+                1.0 / 328900.5,     # Earth+Moon
+                1.0 / 3098710.0,    # Mars
+                0.000954786104043,  # Jupiter
+                0.000285583733151,  # Saturn
+                4.37273164546e-5,   # Uranus
+                5.17759138449e-5,   # Neptune
+                1.0 / 130000000.0,  # Pluto
+            ]
+        )
+        self.work_counters['rhs'] = WorkCounter()
+
+    def u_exact(self, t, u_init=None, t_init=0.0):
+        if float(t) != 0.0:
+            raise NotImplementedError('u_exact only works for t=0')
+        # heliocentric positions [AU] and velocities [AU/day] (J2000-like data)
+        pos = np.array(
+            [
+                [0.0, 0.0, 0.0],
+                [-0.1302, -0.4473, -0.0246],
+                [-0.7183, -0.0327, 0.0410],
+                [-0.1842, 0.9645, 0.0000],
+                [1.3835, -0.0162, -0.0342],
+                [-3.5025653, -3.8169847, -1.5507963],
+                [9.0755314, -3.0458353, -1.6483708],
+                [8.3101420, -16.2901086, -7.2521278],
+                [11.4707666, -25.7294829, -10.8169456],
+                [-15.5387357, -25.2225594, -3.1902382],
+            ]
+        ).T
+        vel = np.array(
+            [
+                [0.0, 0.0, 0.0],
+                [0.02145, -0.00614, -0.00246],
+                [0.00080, -0.02031, -0.00033],
+                [-0.01720, -0.00329, 0.0000],
+                [0.00067, 0.01513, 0.00031],
+                [0.00565429, -0.00412490, -0.00190589],
+                [0.00168318, 0.00483525, 0.00192462],
+                [0.00354178, 0.00137102, 0.00055029],
+                [0.00288930, 0.00114527, 0.00039677],
+                [0.00276725, -0.0017072, -0.00136504],
+            ]
+        ).T
+        return Particles(pos=jnp.asarray(pos, self.dtype), vel=jnp.asarray(vel, self.dtype))
+
+    def eval_hamiltonian(self, u: Particles):
+        kin = 0.5 * jnp.sum(self.masses * jnp.sum(u.vel**2, axis=0))
+        N = u.pos.shape[1]
+        diff = u.pos[:, None, :] - u.pos[:, :, None]
+        r = jnp.sqrt(jnp.sum(diff**2, axis=0) + jnp.eye(N))
+        mm = self.masses[:, None] * self.masses[None, :]
+        pot = -self.G * jnp.sum(jnp.triu(mm / r, k=1))
+        return kin + pot

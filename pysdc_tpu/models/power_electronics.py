@@ -165,3 +165,74 @@ class BuckConverter(Problem):
     def u_exact(self, t, u_init=None, t_init=None):
         assert float(t) == 0
         return jnp.zeros(3, self.dtype)
+
+
+class BatteryNCapacitors(Problem):
+    """Battery drain with N capacitors (reference Battery.py:8-301):
+    u = [i_L, v_C1..v_CN]; each capacitor discharges until its voltage hits
+    V_ref, then the next one (finally the source) takes over."""
+
+    f_kind = 'imex'
+
+    def __init__(self, ncapacitors=2, Vs=5.0, Rs=0.5, C=None, R=1.0, L=1.0, alpha=1.2,
+                 V_ref=None, dtype=None):
+        n = ncapacitors
+        super().__init__(shape=(n + 1,), dtype=dtype)
+        C_arr = np.ones(n) if C is None else np.atleast_1d(C)
+        V_arr = np.ones(n) if V_ref is None else np.atleast_1d(V_ref)
+        self._register(ncapacitors=n, Vs=Vs, Rs=Rs, C=C_arr, R=R, L=L, alpha=alpha,
+                       V_ref=V_arr, t_switch=np.inf, nswitches=0)
+        # per-regime system matrices (reference get_problem_dict)
+        v = np.zeros(n + 1)
+        v[0] = 1
+        A_list, b_list = [], []
+        for k in range(n):
+            A_list.append(np.diag(-1 / (C_arr[k] * R) * np.roll(v, k + 1)))
+            b_list.append(np.zeros(n + 1))
+        A_list.append(np.diag(-(Rs + R) / L * v))
+        b_list.append(Vs / L * v)
+        self.A_all = jnp.asarray(np.stack(A_list))
+        self.b_all = jnp.asarray(np.stack(b_list))
+        self.work_counters['rhs'] = WorkCounter()
+
+    def _regime_index(self, u):
+        """Number of drained capacitors = index of the active regime."""
+        drained = (u[1:] - jnp.asarray(self.V_ref)) <= 0
+        return jnp.sum(drained.astype(jnp.int32))
+
+    def eval_f(self, u, t):
+        self.work_counters['rhs']()
+        k = self._regime_index(u)
+        A = self.A_all[k]
+        b = self.b_all[k]
+        return IMEX(impl=(A @ u).astype(u.dtype), expl=b.astype(u.dtype))
+
+    def solve_system(self, rhs, factor, u0, t):
+        k = self._regime_index(rhs)
+        A = self.A_all[k].astype(rhs.dtype)
+        n = self.ncapacitors + 1
+        return jnp.linalg.solve(jnp.eye(n, dtype=rhs.dtype) - factor * A, rhs)
+
+    def u_exact(self, t, u_init=None, t_init=None):
+        assert float(t) == 0
+        u = np.zeros(self.ncapacitors + 1)
+        u[1:] = self.alpha * np.asarray(self.V_ref)
+        return jnp.asarray(u, self.dtype)
+
+    def get_switching_info(self, u_nodes, t):
+        u_nodes = [np.asarray(u) for u in u_nodes]
+        switch_detected, m_guess, k_detected = False, -100, 1
+        for m in range(1, len(u_nodes)):
+            for k in range(1, self.ncapacitors + 1):
+                h_prev = u_nodes[m - 1][k] - self.V_ref[k - 1]
+                h_curr = u_nodes[m][k] - self.V_ref[k - 1]
+                if h_prev > 0 and h_curr <= 0:
+                    switch_detected, m_guess, k_detected = True, m - 1, k
+                    break
+            if switch_detected:
+                break
+        state_function = [float(u[k_detected] - self.V_ref[k_detected - 1]) for u in u_nodes]
+        return switch_detected, m_guess, state_function
+
+    def count_switches(self):
+        self.nswitches += 1
