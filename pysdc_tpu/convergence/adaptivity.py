@@ -196,3 +196,76 @@ class AdaptivityPolynomialError(AdaptivityBase):
             if e_est >= self.params.e_tol:
                 S.status.restart = True
                 self.log(f'Restarting: e={e_est:.2e} >= e_tol={self.params.e_tol:.2e}', S)
+
+
+class AdaptivityCollocation(AdaptivityBase):
+    """Step size control from the collocation-based embedded error estimate
+    (reference adaptivity.py:587-700): the difference between converged
+    solutions of successive quadrature rules gives a local error of order
+    min(order_1, order_2) + 1; step size and restarts follow the usual
+    optimal-step-size rule once the *last* collocation problem converges."""
+
+    def setup(self, controller, params, description, **kwargs):
+        defaults = {
+            'adaptive_coll_params': {},
+            'restart_at_maxiter': True,
+            **super().setup(controller, params, description, **kwargs),
+            'control_order': 220,
+        }
+        if 'e_tol' not in defaults:
+            from pysdc_tpu.core.errors import ParameterError
+
+            raise ParameterError('AdaptivityCollocation needs an e_tol')
+        self.num_colls = 0
+        for key, val in defaults['adaptive_coll_params'].items():
+            if isinstance(val, list):
+                self.num_colls = max(self.num_colls, len(val))
+        self._errors = []
+        self._orders = []
+        return defaults
+
+    def dependencies(self, controller, description, **kwargs):
+        from pysdc_tpu.convergence.estimate_embedded_error import EstimateEmbeddedErrorCollocation
+
+        super().dependencies(controller, description, **kwargs)
+        controller.add_convergence_controller(
+            EstimateEmbeddedErrorCollocation,
+            params={'adaptive_coll_params': self.params.adaptive_coll_params},
+            description=description,
+        )
+
+    def reset_status_variables(self, controller, **kwargs):
+        self._errors = []
+        self._orders = []
+
+    def get_convergence(self, controller, S, **kwargs):
+        return len(self._orders) == self.num_colls
+
+    def get_local_error_estimate(self, controller, S, **kwargs):
+        if len(self._errors) > 1 and self._errors[-1] is not None:
+            return self._errors[-1][1]
+        return 0.0
+
+    def post_iteration_processing(self, controller, S, **kwargs):
+        if S.status.done:
+            lvl = S.levels[0]
+            self._errors.append(lvl.status.error_embedded_estimate_collocation)
+            self._orders.append(lvl.sweep.coll.order)
+
+    def get_new_step_size(self, controller, S, **kwargs):
+        if self.get_convergence(controller, S):
+            lvl = S.levels[0]
+            order = min(self._orders[-2:]) + 1
+            e_est = self.get_local_error_estimate(controller, S)
+            if e_est > 0:
+                lvl.status.dt_new = self.compute_optimal_step_size(
+                    self.params.beta, lvl.params.dt, self.params.e_tol, e_est, order
+                )
+                self.log(f'Adjusting step size from {lvl.params.dt:.2e} to {lvl.status.dt_new:.2e}', S)
+
+    def determine_restart(self, controller, S, **kwargs):
+        if self.get_convergence(controller, S):
+            e_est = self.get_local_error_estimate(controller, S)
+            if e_est >= self.params.e_tol:
+                S.status.restart = True
+                self.log(f'Restarting: e={e_est:.2e} >= e_tol={self.params.e_tol:.2e}', S)

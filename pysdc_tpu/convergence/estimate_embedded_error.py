@@ -62,3 +62,54 @@ class EstimateEmbeddedError(ConvergenceController):
                     self.estimate_embedded_error_serial(L), np.finfo(float).eps
                 )
                 L.status.increment = L.status.error_embedded_estimate * 1
+
+
+class EstimateEmbeddedErrorCollocation(ConvergenceController):
+    """Embedded error from switching quadrature rules: the difference between
+    the converged solutions of two successive collocation problems (reference
+    estimate_embedded_error.py:280-363).  Stored on the finest level as
+    ``error_embedded_estimate_collocation = (iter, error)``; the switching
+    itself is delegated to :class:`AdaptiveCollocation` (pass its parameters
+    as ``adaptive_coll_params``)."""
+
+    def setup(self, controller, params, description, **kwargs):
+        defaults = {
+            'control_order': 210,
+            'adaptive_coll_params': {},
+            **super().setup(controller, params, description, **kwargs),
+        }
+        self._us = []
+        self._iters = []
+        return defaults
+
+    def dependencies(self, controller, description, **kwargs):
+        from pysdc_tpu.convergence.adaptive_collocation import AdaptiveCollocation
+
+        controller.add_convergence_controller(
+            AdaptiveCollocation, params=dict(self.params.adaptive_coll_params), description=description
+        )
+
+    def setup_status_variables(self, controller, **kwargs):
+        self.add_status_variable_to_level('error_embedded_estimate_collocation')
+
+    def reset_status_variables(self, controller, **kwargs):
+        self._us = []
+        self._iters = []
+        self.set_level_status_variable('error_embedded_estimate_collocation', None)
+
+    def post_iteration_processing(self, controller, S, **kwargs):
+        # runs before AdaptiveCollocation (210 < 300), so status.done still
+        # marks "current collocation problem converged"
+        if S.status.done:
+            lvl = S.levels[0]
+            lvl.compute_end_point()
+            self._us.append(lvl.uend)
+            self._iters.append(S.status.iter)
+            if len(self._us) > 1:
+                import jax.numpy as jnp
+
+                err = float(jnp.max(jnp.abs(self._us[-1] - self._us[-2])))
+                lvl.status.error_embedded_estimate_collocation = (
+                    self._iters[-2],
+                    max(np.finfo(float).eps, err),
+                )

@@ -23,10 +23,20 @@ from pysdc_tpu.ops.lagrange import interpolation_matrix
 class SwitchEstimator(ConvergenceController):
     def setup(self, controller, params, description, **kwargs):
         defaults = {
-            'control_order': 100,
+            # reference switch_estimator.py:50 runs the SE before
+            # BasicRestarting (95) so the restart flag it raises is seen,
+            # counted and clamped in the same pass
+            'control_order': 0,
             'tol': description['level_params']['dt'] * 1e-2,
             'tol_zero': 2.5e-12,
             'alpha': 1.0,
+            # detect boundary *contact* (state function touches zero without
+            # crossing): when a frozen rhs branch creates a sliding mode the
+            # node values never cross (e.g. DiscontinuousTestDAE), so the
+            # crossing is extrapolated from the rising nodes instead.  The
+            # step boundary then lands within O(1e-3) of the event; exact
+            # event declaration requires a genuine sign change.  0 disables.
+            'contact_tol': 0.0,
         }
         self.status = {'switch_detected': False, 't_switch': None, 'is_zero': None}
         return {**defaults, **super().setup(controller, params, description, **kwargs)}
@@ -49,6 +59,27 @@ class SwitchEstimator(ConvergenceController):
         i = sign_change[0] if sign_change.size else max(m_guess, 0)
         return brentq(p, t_interp[i], t_interp[i + 1], xtol=1e-14)
 
+    @staticmethod
+    def get_contact(t_interp, state_function):
+        """Contact time for a sliding-mode boundary touch (state function
+        rises toward zero but is clipped by the frozen branch before
+        crossing): extrapolate the *rising* nodes — they follow the unfrozen
+        dynamics — to their zero crossing."""
+        t = np.asarray(t_interp, dtype=float)
+        sf = np.asarray(state_function, dtype=float)
+        i = int(sf.argmax())
+        n_rise = i + 1  # nodes 0..i follow the rising branch
+        deg = min(n_rise - 1, 2)
+        if deg >= 1:
+            coeffs = np.polynomial.polynomial.polyfit(t[:n_rise], sf[:n_rise], deg)
+            roots = np.polynomial.polynomial.polyroots(coeffs)
+            real = [float(r.real) for r in roots if abs(r.imag) < 1e-10 and r.real > t[max(i - 1, 0)]]
+            if real:
+                # nearest crossing ahead of the rising segment, kept inside
+                # the step so the shrink-and-restart logic stays well-posed
+                return min(min(real), t[-1])
+        return t[i]
+
     def get_new_step_size(self, controller, S, **kwargs):
         L = S.levels[0]
         if not CheckConvergence.check_convergence(S):
@@ -56,6 +87,13 @@ class SwitchEstimator(ConvergenceController):
 
         u_nodes = [np.asarray(L.state.u[m]) for m in range(L.state.u.shape[0])]
         switch_detected, m_guess, state_function = L.prob.get_switching_info(u_nodes, L.time)
+        contact = False
+        if not switch_detected and self.params.contact_tol > 0:
+            sf = np.asarray(state_function, dtype=float)
+            interior_max = sf.argmax() not in (0,)
+            rises_then_falls = np.any(np.diff(sf) > 0) and np.any(np.diff(sf) < 0)
+            if interior_max and rises_then_falls and sf.max() > -self.params.contact_tol and sf.max() < 0:
+                switch_detected, contact = True, True
         self.status['switch_detected'] = switch_detected
         if not switch_detected:
             return
@@ -73,8 +111,13 @@ class SwitchEstimator(ConvergenceController):
             self.status['switch_detected'] = False
             return
 
-        if state_function[0] * state_function[-1] < 0:
+        if contact:
+            t_switch = self.get_contact(t_interp, state_function)
+        elif state_function[0] * state_function[-1] < 0:
             t_switch = self.get_switch(t_interp, state_function, m_guess)
+        else:
+            t_switch = None
+        if t_switch is not None:
             self.status['t_switch'] = t_switch
             if L.time < t_switch < L.time + L.dt:
                 dt_switch = (t_switch - float(L.time)) * self.params.alpha

@@ -38,6 +38,16 @@ class Comp2(NamedTuple):
     comp2: Any
 
 
+class IMEXEXP(NamedTuple):
+    """Three-way split RHS for exponential SDC (reference Monodomain
+    project): ``impl`` stiff/implicit, ``expl`` nonstiff/explicit, ``exp``
+    exponential Rush-Larsen terms f_exp(u) = lambda(u0) * (u - y_inf(u0))."""
+
+    impl: Any
+    expl: Any
+    exp: Any
+
+
 def f_total(f):
     """Full right-hand side: sum of all components."""
     leaves = jax.tree_util.tree_leaves(f)

@@ -15,7 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from pysdc_tpu.core.problem import Problem, WorkCounter
-from pysdc_tpu.core.state import IMEX
+from pysdc_tpu.core.state import IMEX, IMEXEXP
 from pysdc_tpu.ops.fd import get_1d_grid
 from pysdc_tpu.ops.linop import SeparableFDOperator
 from pysdc_tpu.models.ionic import JAX_MODELS
@@ -73,3 +73,36 @@ class MonodomainIMEX(Problem):
         return jnp.broadcast_to(
             y0.reshape((self.model.size,) + (1,) * len(self.nvars)), self.shape
         ).astype(self.dtype)
+
+
+class MonodomainIMEXEXP(MonodomainIMEX):
+    """Three-way splitting for exponential SDC (reference
+    projects/Monodomain/problem_classes/MonodomainODE.py:280-420):
+    diffusion on V implicit, ionic currents + stimulus on V explicit,
+    gating variables exponential (Rush-Larsen): y' = lambda(V)(y - y_inf(V)).
+    """
+
+    f_kind = 'imexexp'
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        mask = np.zeros((self.model.size,) + (1,) * len(self.nvars))
+        for i in getattr(self.model, 'f_exp_indices', ()):
+            mask[i] = 1.0
+        self.exp_mask = jnp.asarray(mask)
+        nonstiff = np.zeros_like(mask)
+        for i in getattr(self.model, 'f_expl_indices', (0,)):
+            nonstiff[i] = 1.0
+        self.nonstiff_mask = jnp.asarray(nonstiff)
+
+    def lmbda_eval(self, u, t):
+        """Full-shape lambda; zero on non-exponential components."""
+        return self.model.lmbda_exp(u) * self.exp_mask
+
+    def eval_f(self, u, t):
+        self.work_counters['rhs']()
+        impl = jnp.zeros_like(u).at[0].set(self.A.apply(u[0]))
+        lm, yinf = self.model.lmbda_yinf_exp(u)
+        expl = (self.model.f_expl(u).at[0].add(self._stimulus(t))) * self.nonstiff_mask
+        f_exp = lm * (u - yinf) * self.exp_mask
+        return IMEXEXP(impl=impl, expl=expl, exp=f_exp)

@@ -224,3 +224,185 @@ class CFLLimit:
                 L.status.dt_new = min(dt_cfl, self.params.dt_max)
 
         return _CFLLimit(*args, **kwargs)
+
+
+class RayleighBenard3D(Problem):
+    """3D Rayleigh-Benard convection, components (u, v, w, T, p) on an
+    (x, y)-periodic box with no-slip plates in z.
+
+    Counterpart of the reference ``RayleighBenard3D``
+    (implementations/problem_classes/RayleighBenard3D.py:12-481): the same
+    ultraspherical tau formulation as the 2D problem, with the Fourier mode
+    axis extended to the flattened (kx, ky) grid — every implicit solve is a
+    batched dense solve over nx*ny tau-conditioned blocks (MXU-friendly).
+    """
+
+    f_kind = 'imex'
+
+    def __init__(self, Prandtl=1.0, Rayleigh=2e6, nx=32, ny=32, nz=16, BCs=None,
+                 dealiasing=1.5, Lx=4.0, Ly=4.0, Lz=1.0, z0=0.0, dtype=None):
+        BCs = {
+            'T_top': 0, 'T_bottom': 1, 'w_top': 0, 'w_bottom': 0,
+            'u_top': 0, 'u_bottom': 0, 'v_top': 0, 'v_bottom': 0, 'p_integral': 0,
+            **(BCs or {}),
+        }
+        super().__init__(shape=(5, nx, ny, nz), dtype=dtype)
+        self._register(Prandtl=Prandtl, Rayleigh=Rayleigh, nx=nx, ny=ny, nz=nz,
+                       BCs=BCs, dealiasing=dealiasing, Lx=Lx, Ly=Ly, Lz=Lz, z0=z0)
+
+        xb = FourierBase1D(nx, 0.0, Lx)
+        yb = FourierBase1D(ny, 0.0, Ly)
+        zb = UltrasphericalBase1D(nz, z0, z0 + Lz)
+        self.xb, self.yb, self.zb = xb, yb, zb
+        spec = SpectralLinearProblemBase(['u', 'v', 'w', 'T', 'p'], xb, zb, y_base=yb)
+        self.spec = spec
+
+        Ra = Rayleigh / (max(abs(BCs['T_top'] - BCs['T_bottom']), np.finfo(float).eps) * Lz**3)
+        self.kappa = (Ra * Prandtl) ** (-0.5)
+        self.nu = (Ra / Prandtl) ** (-0.5)
+
+        D1, D2 = zb.diff_matrix(1), zb.diff_matrix(2)
+        U01 = zb.conv_matrix(0, 1)
+        U12 = zb.conv_matrix(1, 2)
+        U02 = zb.conv_matrix(0, 2)
+
+        visc = lambda coef: [(2, 0, -coef * U02), (0, 2, -coef * U02), (0, 0, -coef * D2)]
+        spec.set_L({
+            'p': {'u': [(1, 0, U01)], 'v': [(0, 1, U01)], 'w': [(0, 0, D1)]},
+            'u': {'p': [(1, 0, U02)], 'u': visc(self.nu)},
+            'v': {'p': [(0, 1, U02)], 'v': visc(self.nu)},
+            'w': {'p': [(0, 0, U12 @ D1)], 'w': visc(self.nu), 'T': [(0, 0, -U02)]},
+            'T': {'T': visc(self.kappa)},
+        })
+        spec.set_M({c: {c: [(0, 0, U02)]} for c in ['u', 'v', 'w', 'T']})
+
+        z_top, z_bot = z0 + Lz, z0
+        spec.add_BC('p', 'p', zb.integral_row(), BCs['p_integral'], line=-1, zero_only=True)
+        spec.add_BC('T', 'T', zb.dirichlet_row(z_bot), BCs['T_bottom'], line=-1)
+        spec.add_BC('T', 'T', zb.dirichlet_row(z_top), BCs['T_top'], line=-2)
+        spec.add_BC('w', 'w', zb.dirichlet_row(z_top), BCs['w_top'], line=-1)
+        spec.add_BC('w', 'w', zb.dirichlet_row(z_bot), BCs['w_bottom'], line=-2, not_at_zero=True)
+        spec.add_BC('u', 'u', zb.dirichlet_row(z_top), BCs['u_top'], line=-2)
+        spec.add_BC('u', 'u', zb.dirichlet_row(z_bot), BCs['u_bottom'], line=-1)
+        spec.add_BC('v', 'v', zb.dirichlet_row(z_top), BCs['v_top'], line=-2)
+        spec.add_BC('v', 'v', zb.dirichlet_row(z_bot), BCs['v_bottom'], line=-1)
+        spec.setup_operators()
+
+        self._S2_inv = np.linalg.inv(U02)
+        self._S1_inv = np.linalg.inv(U01)
+        self._Dz_T = self._S1_inv @ D1
+        self._z_pad_bwd = zb.padded_itransform_matrix(dealiasing)
+        self._z_pad_fwd = zb.padded_transform_matrix(dealiasing)
+        self.work_counters['rhs'] = WorkCounter()
+
+    @property
+    def Z(self):
+        z = jnp.asarray(self.zb.nodes)
+        return jnp.broadcast_to(z[None, None, :], (self.nx, self.ny, self.nz))
+
+    # -- dealiased products ---------------------------------------------
+    def _pad_to_real(self, u_hat):
+        pad = self.dealiasing
+        u_hat = self.xb.pad(u_hat, axis=1, factor=pad)
+        u_hat = self.yb.pad(u_hat, axis=2, factor=pad)
+        u_hat = self.zb.pad(u_hat, axis=3, factor=pad)
+        u = jnp.tensordot(jnp.asarray(self._z_pad_bwd, u_hat.dtype), u_hat, axes=(1, 3)).transpose(1, 2, 3, 0)
+        u = jnp.fft.ifft(u, axis=1, norm='forward')
+        u = jnp.fft.ifft(u, axis=2, norm='forward')
+        return jnp.real(u)
+
+    def _real_to_unpad(self, u_pad):
+        pad = self.dealiasing
+        u_hat = jnp.fft.fft(u_pad.astype(complex), axis=1, norm='forward')
+        u_hat = jnp.fft.fft(u_hat, axis=2, norm='forward')
+        u_hat = jnp.tensordot(jnp.asarray(self._z_pad_fwd, u_hat.dtype), u_hat, axes=(1, 3)).transpose(1, 2, 3, 0)
+        u_hat = self.xb.unpad(u_hat, axis=1, factor=pad)
+        u_hat = self.yb.unpad(u_hat, axis=2, factor=pad)
+        return u_hat[..., : self.nz]
+
+    def _dz(self, u_hat):
+        return jnp.tensordot(jnp.asarray(self._Dz_T, u_hat.dtype), u_hat, axes=(1, u_hat.ndim - 1)).transpose(
+            *(tuple(range(1, u_hat.ndim)) + (0,))
+        )
+
+    # -- protocol --------------------------------------------------------
+    def eval_f(self, u, t):
+        self.work_counters['rhs']()
+        spec = self.spec
+        u_hat = spec.transform(u)
+
+        Lu = spec.apply_operator(spec.L_all, u_hat)
+        S2i = jnp.asarray(self._S2_inv, Lu.dtype)
+        S1i = jnp.asarray(self._S1_inv, Lu.dtype)
+
+        def back(mat, comp):
+            return jnp.tensordot(mat, comp, axes=(1, 2)).transpose(1, 2, 0)
+
+        base = jnp.stack([back(S2i, Lu[0]), back(S2i, Lu[1]), back(S2i, Lu[2]),
+                          back(S2i, Lu[3]), back(S1i, Lu[4])])
+        impl = -spec.itransform(base)
+        impl = impl.at[4].set(0.0)  # divergence row carries no dynamics
+
+        kx = jnp.asarray(self.xb.k)
+        ky = jnp.asarray(self.yb.k)
+        Dx_hat = u_hat * (1j * kx)[None, :, None, None]
+        Dy_hat = u_hat * (1j * ky)[None, None, :, None]
+        Dz_hat = self._dz(u_hat)
+
+        u_pad = self._pad_to_real(u_hat)
+        Dx_pad = self._pad_to_real(Dx_hat)
+        Dy_pad = self._pad_to_real(Dy_hat)
+        Dz_pad = self._pad_to_real(Dz_hat)
+
+        iu, iv, iw, iT = 0, 1, 2, 3
+        adv = lambda c: -(u_pad[iu] * Dx_pad[c] + u_pad[iv] * Dy_pad[c] + u_pad[iw] * Dz_pad[c])
+        conv = jnp.stack([adv(iu), adv(iv), adv(iw), adv(iT), jnp.zeros_like(u_pad[0])])
+        expl = spec.itransform(self._real_to_unpad(conv))
+        return IMEX(impl=impl, expl=expl)
+
+    def solve_system(self, rhs, factor, u0, t):
+        return self.spec.solve_shifted(rhs, factor)
+
+    def u_exact(self, t=0, noise_level=1e-3, seed=99):
+        assert float(t) == 0
+        BCs, Lz, z0 = self.BCs, self.Lz, self.z0
+        Z = self.Z
+        me = jnp.zeros(self.shape, self.dtype)
+        for i, comp in enumerate(['u', 'v', 'w', 'T']):
+            a = (BCs[f'{comp}_top'] - BCs[f'{comp}_bottom']) / Lz
+            b = BCs[f'{comp}_bottom'] - a * z0
+            me = me.at[i].set(a * Z + b)
+        rng = np.random.default_rng(seed)
+        noise = jnp.asarray(rng.random((self.nx, self.ny, self.nz)), self.dtype)
+        me = me.at[3].add(noise_level * noise * (Z - z0) * (z0 + Lz - Z))
+        return me
+
+    def compute_Nusselt_numbers(self, u):
+        """Nu = Lz * <wT/kappa - T_z>; conductive state gives 1
+        (reference RayleighBenard3D.py:303-399)."""
+        u_hat = self.spec.transform(u)
+        iw, iT = 2, 3
+        Tz_hat = self._dz(u_hat[iT])
+        wT_hat = self.spec.transform((u[iw] * u[iT])[None])[0]
+        flux_hat = (wT_hat / self.kappa - Tz_hat) * self.Lz
+        mean_flux = flux_hat[0, 0]  # (kx, ky) = (0, 0) horizontal mean
+        row = jnp.asarray(self.zb.integral_row(), flux_hat.dtype)
+        integ = jnp.real(jnp.tensordot(row, mean_flux, axes=(0, 0))) / self.Lz
+        top_row = jnp.asarray(self.zb.dirichlet_row(self.z0 + self.Lz), flux_hat.dtype)
+        bot_row = jnp.asarray(self.zb.dirichlet_row(self.z0), flux_hat.dtype)
+        return {
+            'V': float(integ),
+            't': float(jnp.real(jnp.tensordot(top_row, mean_flux, axes=(0, 0)))),
+            'b': float(jnp.real(jnp.tensordot(bot_row, mean_flux, axes=(0, 0)))),
+        }
+
+    def compute_divergence(self, u):
+        u_hat = self.spec.transform(u)
+        kx = jnp.asarray(self.xb.k)
+        ky = jnp.asarray(self.yb.k)
+        div_hat = (
+            u_hat[0] * (1j * kx)[:, None, None]
+            + u_hat[1] * (1j * ky)[None, :, None]
+            + self._dz(u_hat[2])
+        )
+        return self.spec.itransform(div_hat[None])[0]

@@ -191,13 +191,20 @@ class SpectralLinearProblemBase:
     BCs are added with :meth:`add_BC` and replace tau lines per Fourier mode.
     """
 
-    def __init__(self, components, x_base: FourierBase1D | None, z_base: UltrasphericalBase1D):
+    def __init__(self, components, x_base: FourierBase1D | None, z_base: UltrasphericalBase1D,
+                 y_base: FourierBase1D | None = None):
         self.components = list(components)
         self.ncomp = len(components)
         self.x_base = x_base
+        self.y_base = y_base
         self.z_base = z_base
         self.nx = x_base.N if x_base is not None else 1
+        self.ny = y_base.N if y_base is not None else 1
         self.nz = z_base.N
+        #: flattened (kx, ky) mode table, shape (nx*ny, 2)
+        kxs = x_base.k if x_base is not None else np.zeros(1)
+        kys = y_base.k if y_base is not None else np.zeros(1)
+        self.mode_k = np.stack(np.meshgrid(kxs, kys, indexing='ij'), axis=-1).reshape(-1, 2)
         self._L = {}
         self._M = {}
         self._bcs = []
@@ -226,25 +233,36 @@ class SpectralLinearProblemBase:
         )
 
     # ------------------------------------------------------------------
-    def _assemble_block(self, blocks, kx):
-        """(C*nz, C*nz) complex matrix for one Fourier mode."""
+    def _assemble_block(self, blocks, kx, ky=0.0):
+        """(C*nz, C*nz) complex matrix for one Fourier mode.  Terms are
+        ``(x_pow, zmat)`` or ``(x_pow, y_pow, zmat)`` tuples (the y power is
+        used by 3D problems with a second Fourier axis)."""
         C, nz = self.ncomp, self.nz
         A = np.zeros((C * nz, C * nz), dtype=complex)
         for eq, row_blocks in blocks.items():
             ie = self.index(eq)
             for comp, terms in row_blocks.items():
                 ic = self.index(comp)
-                for x_pow, zmat in terms:
-                    fac = (1j * kx) ** x_pow if x_pow > 0 else 1.0
+                for term in terms:
+                    if len(term) == 2:
+                        x_pow, zmat = term
+                        y_pow = 0
+                    else:
+                        x_pow, y_pow, zmat = term
+                    fac = ((1j * kx) ** x_pow if x_pow > 0 else 1.0) * ((1j * ky) ** y_pow if y_pow > 0 else 1.0)
                     A[ie * nz : (ie + 1) * nz, ic * nz : (ic + 1) * nz] += fac * np.asarray(zmat, complex)
         return A
 
     def setup_operators(self):
-        """Build stacked per-mode matrices + BC masks (host, once)."""
-        ks = self.x_base.k if self.x_base is not None else np.zeros(1)
-        nx, C, nz = self.nx, self.ncomp, self.nz
-        L_all = np.stack([self._assemble_block(self._L, k) for k in ks])
-        M_all = np.stack([self._assemble_block(self._M, k) for k in ks])
+        """Build stacked per-mode matrices + BC masks (host, once).  The mode
+        axis is the flattened (kx[, ky]) grid."""
+        C, nz = self.ncomp, self.nz
+        nmodes = len(self.mode_k)
+        L_all = np.stack([self._assemble_block(self._L, kx, ky) for kx, ky in self.mode_k])
+        M_all = np.stack([self._assemble_block(self._M, kx, ky) for kx, ky in self.mode_k])
+        nx = nmodes  # mode-axis length (historical name kept below)
+
+        zero_mode = int(np.where((self.mode_k == 0).all(axis=1))[0][0])
 
         # BC machinery: keep_mask zeroes replaced lines; bc_rows holds the
         # constant rows; bc_rhs the per-mode right-hand-side values
@@ -257,9 +275,9 @@ class SpectralLinearProblemBase:
             line = bc['line'] % nz
             row_idx = ie * nz + line
             if bc['zero_only']:
-                modes = [0]
+                modes = [zero_mode]
             elif bc['not_at_zero']:
-                modes = range(1, nx)
+                modes = [m for m in range(nx) if m != zero_mode]
             else:
                 modes = range(nx)
             for m in modes:
@@ -267,14 +285,20 @@ class SpectralLinearProblemBase:
                 bc_rows[m, row_idx, :] = 0.0
                 bc_rows[m, row_idx, ic * nz : (ic + 1) * nz] = bc['row']
                 bc_rhs[m, row_idx] = 0.0
-            bc_rhs[0, row_idx] = bc['value']
+            bc_rhs[zero_mode, row_idx] = bc['value']
 
-        # Nyquist mode: project out entirely (reference eliminates it)
-        if self.x_base is not None and self.x_base.nyquist_index() is not None:
-            m = self.x_base.nyquist_index()
-            keep[m, :] = False
-            bc_rows[m] = np.eye(C * nz)
-            bc_rhs[m] = 0.0
+        # Nyquist modes: project out entirely (reference eliminates them)
+        ny_x = self.x_base.nyquist_index() if self.x_base is not None else None
+        ny_y = self.y_base.nyquist_index() if self.y_base is not None else None
+        for m, (kx, ky) in enumerate(self.mode_k):
+            at_nyquist = (
+                (ny_x is not None and kx == self.x_base.k[ny_x])
+                or (ny_y is not None and ky == self.y_base.k[ny_y])
+            )
+            if at_nyquist:
+                keep[m, :] = False
+                bc_rows[m] = np.eye(C * nz)
+                bc_rhs[m] = 0.0
 
         self.L_all = jnp.asarray(L_all)
         self.M_all = jnp.asarray(M_all)
@@ -282,43 +306,55 @@ class SpectralLinearProblemBase:
         self.bc_rows = jnp.asarray(bc_rows)
         self.bc_rhs_vec = jnp.asarray(bc_rhs)
 
-    # -- transforms over the full (C, nx, nz) state ----------------------
+    # -- transforms over the full (C, nx[, ny], nz) state ----------------
     def transform(self, u):
-        """real space (C, nx, nz) -> coefficients (complex)."""
-        x_axis, z_axis = 1, 2
+        """real space (C, nx[, ny], nz) -> coefficients (complex)."""
         u_hat = u.astype(complex)
         if self.x_base is not None:
-            u_hat = self.x_base.transform(u_hat, axis=x_axis)
-        u_hat = self.z_base.transform(u_hat, axis=z_axis)
+            u_hat = self.x_base.transform(u_hat, axis=1)
+        if self.y_base is not None:
+            u_hat = self.y_base.transform(u_hat, axis=2)
+        u_hat = self.z_base.transform(u_hat, axis=-1)
         return u_hat
 
     def itransform(self, u_hat):
-        x_axis, z_axis = 1, 2
-        u = self.z_base.itransform(u_hat, axis=z_axis)
+        u = self.z_base.itransform(u_hat, axis=-1)
+        if self.y_base is not None:
+            u = self.y_base.itransform(u, axis=2)
         if self.x_base is not None:
-            u = self.x_base.itransform(u, axis=x_axis)
+            u = self.x_base.itransform(u, axis=1)
         return jnp.real(u)
 
+    def _flatten_modes(self, u_hat):
+        """(C, nx[, ny], nz) -> (nmodes, C*nz)."""
+        C, nz = self.ncomp, self.nz
+        nm = len(self.mode_k)
+        v = u_hat.reshape(C, nm, nz)
+        return jnp.transpose(v, (1, 0, 2)).reshape(nm, C * nz)
+
+    def _unflatten_modes(self, v):
+        C, nz = self.ncomp, self.nz
+        nm = len(self.mode_k)
+        u = jnp.transpose(v.reshape(nm, C, nz), (1, 0, 2))
+        shape = (C, self.nx, self.ny, nz) if self.y_base is not None else (C, self.nx, nz)
+        return u.reshape(shape)
+
     def apply_operator(self, Op_all, u_hat):
-        """Apply stacked per-mode operator: (nx, CN, CN) @ (C, nx, nz)."""
-        C, nx, nz = self.ncomp, self.nx, self.nz
-        v = jnp.transpose(u_hat, (1, 0, 2)).reshape(nx, C * nz)
+        """Apply stacked per-mode operator along the flattened mode axis."""
+        v = self._flatten_modes(u_hat)
         out = jnp.einsum('xab,xb->xa', Op_all, v)
-        return jnp.transpose(out.reshape(nx, C, nz), (1, 0, 2))
+        return self._unflatten_modes(out)
 
     def solve_shifted(self, rhs, factor):
         """Solve (M + factor*L) u = M rhs with BC tau lines, batched over
         Fourier modes.  ``factor`` is traced; rhs in real space."""
-        C, nx, nz = self.ncomp, self.nx, self.nz
         rhs_hat = self.transform(rhs)
-        b = self.apply_operator(self.M_all, rhs_hat)
-        b = jnp.transpose(b, (1, 0, 2)).reshape(nx, C * nz)
+        b = self._flatten_modes(self.apply_operator(self.M_all, rhs_hat))
         b = jnp.where(self.keep_mask, b, self.bc_rhs_vec)
 
         A = (self.M_all + factor * self.L_all) * self.keep_mask[:, :, None] + self.bc_rows
         x = jnp.linalg.solve(A, b[..., None])[..., 0]
-        u_hat = jnp.transpose(x.reshape(nx, C, nz), (1, 0, 2))
-        return self.itransform(u_hat)
+        return self.itransform(self._unflatten_modes(x))
 
     def apply_L(self, u):
         """L @ u in real space (for the implicit RHS evaluation)."""

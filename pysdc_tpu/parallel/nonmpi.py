@@ -29,6 +29,14 @@ from pysdc_tpu.core.step import Step
 from pysdc_tpu.parallel.controller import Controller
 
 
+def _tend_eps(Tend):
+    """End-of-interval guard: the reference uses 10*eps absolute
+    (controller_nonMPI.py:112), which accumulated dt-rounding drift exceeds
+    after ~40 steps; a relative component keeps "t == Tend up to drift" from
+    scheduling a spurious extra step while staying far below any real dt."""
+    return max(10 * np.finfo(float).eps, 1e-12 * abs(Tend))
+
+
 class ControllerNonMPI(Controller):
     def __init__(self, num_procs: int, controller_params: dict, description: dict):
         if 'predict' in controller_params:
@@ -76,7 +84,7 @@ class ControllerNonMPI(Controller):
 
         slots = list(range(num_procs))
         time = [t0 + sum(self.MS[j].dt for j in range(p)) for p in slots]
-        active = [time[p] < Tend - 10 * np.finfo(float).eps for p in slots]
+        active = [time[p] < Tend - _tend_eps(Tend) for p in slots]
         if not any(active):
             raise ControllerError('Nothing to do, check t0, dt and Tend.')
         active_slots = list(itertools.compress(slots, active))
@@ -115,7 +123,7 @@ class ControllerNonMPI(Controller):
             for i in range(1, len(active_slots)):
                 time[active_slots[i]] = time[active_slots[i] - 1] + self.MS[active_slots[i] - 1].dt
 
-            active = [time[p] < Tend - 10 * np.finfo(float).eps for p in slots]
+            active = [time[p] < Tend - _tend_eps(Tend) for p in slots]
             active_slots = list(itertools.compress(slots, active))
 
             self.restart_block(active_slots, time, uend)

@@ -198,7 +198,7 @@ class ParaDiagController(Controller):
         restol = lvl.params.restol
         L = self.n_steps
         stats = {}
-        eps = 10 * np.finfo(float).eps
+        eps = max(10 * np.finfo(float).eps, 1e-12 * abs(Tend))
 
         t_block = float(t0)
         uend = jnp.asarray(u0)

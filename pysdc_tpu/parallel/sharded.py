@@ -239,7 +239,7 @@ class ShardedController(Controller):
 
         t_block = float(t0)
         uend = jnp.asarray(u0)
-        eps = 10 * np.finfo(float).eps
+        eps = max(10 * np.finfo(float).eps, 1e-12 * abs(Tend))
 
         n_sync = 0
         while t_block < Tend - eps:

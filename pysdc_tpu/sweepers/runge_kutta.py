@@ -468,3 +468,87 @@ class IMEXEuler(RungeKuttaIMEX):
     matrix[1, 1] = 1.0
     matrix_explicit = np.zeros((2, 2))
     matrix_explicit[1, 0] = 1.0
+
+
+class IMEXEulerStifflyAccurate(RungeKuttaIMEX):
+    """Stiffly accurate IMEX Euler: u = fI^{-1}(u0 + dt*fE(u0)) — the last
+    stage is the solution, suitable for DAE limits
+    (reference Runge_Kutta.py:527-540)."""
+
+    nodes = np.array([0.0, 1.0])
+    weights = np.array([0.0, 1.0])
+    weights_explicit = np.array([1.0, 0.0])
+    matrix = np.array([[0.0, 0.0], [0.0, 1.0]])
+    matrix_explicit = np.array([[0.0, 0.0], [1.0, 0.0]])
+
+
+class DIRK43_2(RungeKutta):
+    """L-stable DIRK with four stages of order 3 (classic tableau, see the
+    Wikipedia list of RK methods; reference Runge_Kutta.py:626-633)."""
+
+    nodes = np.array([0.5, 2.0 / 3.0, 0.5, 1.0])
+    weights = np.array([3.0 / 2.0, -3.0 / 2.0, 0.5, 0.5])
+    matrix = np.array(
+        [
+            [0.5, 0.0, 0.0, 0.0],
+            [1.0 / 6.0, 0.5, 0.0, 0.0],
+            [-0.5, 0.5, 0.5, 0.0],
+            [3.0 / 2.0, -3.0 / 2.0, 0.5, 0.5],
+        ]
+    )
+
+
+def _embedded_weights_order3(A: np.ndarray, c: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Order-3 embedded weights for a given tableau: perturb b inside the
+    null space of the order-{1,2,3} condition matrix, breaking one order-4
+    condition so the pair is genuinely 4(3).  (The reference takes the
+    published embedded weights from qmat; deriving them from the order
+    conditions gives an equally valid order-3 companion and is pinned by the
+    embedded-order test.)"""
+    C = np.vstack([np.ones_like(c), c, c**2, A @ c])
+    _, _, Vt = np.linalg.svd(C)
+    null = Vt[4:]  # (s-4, s) basis of the nullspace
+    # direction that maximally violates b.c^3 = 1/4 within the nullspace
+    viol = null @ c**3
+    d = null.T @ viol
+    d = d / (d @ c**3)  # normalize: bhat.c^3 - 1/4 = -0.05
+    return b - 0.05 * d
+
+
+class ESDIRK43(RungeKutta):
+    """ESDIRK4(3)6L[2]SA: stiffly accurate, L-stable, stage order 2,
+    gamma = 1/4 (Kennedy & Carpenter, NASA/TM-2016-219173; reference
+    Runge_Kutta.py:661-674).  Main weights are the published closed forms —
+    verified against all eight order-4 conditions in tests."""
+
+    _s2 = np.sqrt(2.0)
+    _g = 0.25
+    nodes = np.array([0.0, 0.5, (2.0 - _s2) / 4.0, 5.0 / 8.0, 26.0 / 25.0, 1.0])
+    _b = np.array(
+        [
+            (1181.0 - 987.0 * _s2) / 13782.0,
+            (1181.0 - 987.0 * _s2) / 13782.0,
+            47.0 * (-267.0 + 1783.0 * _s2) / 273343.0,
+            -16.0 * (-22922.0 + 3525.0 * _s2) / 571953.0,
+            -15625.0 * (97.0 + 376.0 * _s2) / 90749876.0,
+            _g,
+        ]
+    )
+    matrix = np.zeros((6, 6))
+    matrix[1, :2] = [_g, _g]
+    matrix[2, :3] = [(1.0 - _s2) / 8.0, (1.0 - _s2) / 8.0, _g]
+    matrix[3, :4] = [(5.0 - 7.0 * _s2) / 64.0, (5.0 - 7.0 * _s2) / 64.0, 7.0 * (1.0 + _s2) / 32.0, _g]
+    matrix[4, :5] = [
+        (-13796.0 - 54539.0 * _s2) / 125000.0,
+        (-13796.0 - 54539.0 * _s2) / 125000.0,
+        (506605.0 + 132109.0 * _s2) / 437500.0,
+        166.0 * (-97.0 + 376.0 * _s2) / 109375.0,
+        _g,
+    ]
+    matrix[5, :] = _b
+    weights = np.array([_b, _embedded_weights_order3(matrix, nodes, _b)])
+    ButcherTableauClass = ButcherTableauEmbedded
+
+    @classmethod
+    def get_update_order(cls):
+        return 4

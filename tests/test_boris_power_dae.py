@@ -188,3 +188,115 @@ def test_prothero_robinson_stiff_accuracy():
     P = c.MS[0].levels[0].prob
     uend, _ = c.run(P.u_exact(0.0), 0.0, 1.0)
     assert float(abs(uend[0] - P.u_exact(1.0)[0])) < 1e-7
+
+
+def test_dae_problematic_f():
+    from pysdc_tpu.models.dae_problems import ProblematicF
+
+    desc = dict(
+        problem_class=ProblematicF,
+        problem_params=dict(eta=1.0),
+        sweeper_class=FullyImplicitDAE,
+        sweeper_params=dict(num_nodes=3),
+        level_params=dict(dt=0.05, restol=1e-11),
+        step_params=dict(maxiter=40),
+    )
+    c = ControllerNonMPI(1, {'logger_level': 40}, desc)
+    P = c.MS[0].levels[0].prob
+    uend, _ = c.run(P.u_exact(0.0), 0.0, 1.0)
+    assert float(jnp.max(jnp.abs(uend - P.u_exact(1.0)))) < 1e-5
+
+
+def test_dae_discontinuous_pre_event_accuracy():
+    """Before the event, (y, z) = (cosh, sinh) is reproduced to high accuracy
+    (needs the relative end-of-interval guard: 40 steps of dt rounding)."""
+    from pysdc_tpu.models.dae_problems import DiscontinuousTestDAE
+
+    desc = dict(
+        problem_class=DiscontinuousTestDAE,
+        problem_params={},
+        sweeper_class=FullyImplicitDAE,
+        sweeper_params=dict(num_nodes=3),
+        level_params=dict(dt=0.05, restol=1e-10),
+        step_params=dict(maxiter=40),
+    )
+    c = ControllerNonMPI(1, {'logger_level': 40}, desc)
+    P = c.MS[0].levels[0].prob
+    uend, _ = c.run(P.u_exact(1.0), 1.0, 3.0)
+    assert float(jnp.max(jnp.abs(uend - P.u_exact(3.0)))) < 1e-7
+
+
+def test_dae_discontinuous_contact_detection_shrinks_to_event():
+    """The sliding-mode contact path: restarts shrink the step so its
+    boundary lands close to the event t* = arccosh(50) (the frozen branch
+    prevents a sign change, so exact declaration is not asserted here —
+    see SwitchEstimator contact_tol docs)."""
+    from pysdc_tpu.convergence.basic_restarting import BasicRestarting
+    from pysdc_tpu.models.dae_problems import DiscontinuousTestDAE
+    from pysdc_tpu.utils.stats import get_sorted
+
+    desc = dict(
+        problem_class=DiscontinuousTestDAE,
+        problem_params=dict(newton_tol=1e-6),
+        sweeper_class=FullyImplicitDAE,
+        sweeper_params=dict(num_nodes=4, QI='LU'),
+        level_params=dict(dt=0.02, restol=1e-11),
+        step_params=dict(maxiter=20),
+        convergence_controllers={
+            SwitchEstimator: {'tol': 1e-6, 'alpha': 0.97, 'contact_tol': 0.5},
+            BasicRestarting: {'max_restarts': 20, 'crash_after_max_restarts': False},
+        },
+    )
+    c = ControllerNonMPI(1, {'logger_level': 40}, desc)
+    P = c.MS[0].levels[0].prob
+    uend, stats = c.run(P.u_exact(4.6), 4.6, 4.62)
+    dts = [v for _, v in get_sorted(stats, type='dt', recomputed=False)]
+    # the first accepted step must have been shrunk toward the event
+    assert dts[0] < 0.01, dts
+    assert abs(4.6 + dts[0] - P.t_switch_exact) < 2e-3
+    assert float(jnp.max(jnp.abs(uend - P.u_exact(4.62)))) < 0.05
+
+
+def test_dae_transistor_amplifiers_self_convergence():
+    from pysdc_tpu.models.dae_problems import OneTransistorAmplifier, TwoTransistorAmplifier
+
+    for cls in (OneTransistorAmplifier, TwoTransistorAmplifier):
+        sols = {}
+        for dt in (1e-4, 5e-5):
+            desc = dict(
+                problem_class=cls,
+                problem_params=dict(newton_tol=1e-10),
+                sweeper_class=FullyImplicitDAE,
+                sweeper_params=dict(num_nodes=3),
+                level_params=dict(dt=dt, restol=1e-9),
+                step_params=dict(maxiter=40),
+            )
+            c = ControllerNonMPI(1, {'logger_level': 40}, desc)
+            P = c.MS[0].levels[0].prob
+            uend, _ = c.run(P.u_exact(0.0), 0.0, 2e-3)
+            sols[dt] = np.asarray(uend)
+        assert np.isfinite(sols[1e-4]).all()
+        assert np.abs(sols[1e-4] - sols[5e-5]).max() < 1e-4, cls.__name__
+
+
+def test_dae_synchronous_machine():
+    """Steady state persists; a torque drop at t=0.05 decelerates the rotor."""
+    from pysdc_tpu.models.dae_problems import SynchronousMachineInfiniteBus
+
+    desc = dict(
+        problem_class=SynchronousMachineInfiniteBus,
+        problem_params=dict(newton_tol=1e-11),
+        sweeper_class=FullyImplicitDAE,
+        sweeper_params=dict(num_nodes=3),
+        level_params=dict(dt=1 / 1024, restol=1e-10),
+        step_params=dict(maxiter=40),
+    )
+    c = ControllerNonMPI(1, {'logger_level': 40}, desc)
+    P = c.MS[0].levels[0].prob
+    uend, _ = c.run(P.u_exact(0.0), 0.0, 16 / 1024)
+    assert float(jnp.max(jnp.abs(uend - P.u_exact(0.0)))) < 1e-6  # steady state
+
+    c = ControllerNonMPI(1, {'logger_level': 40}, desc)
+    uend, _ = c.run(P.u_exact(0.0), 0.0, 96 / 1024)  # through t = 0.05
+    assert float(uend[7]) < 1.0 - 1e-3  # rotor decelerates after torque drop
+    assert bool(jnp.isfinite(uend).all())

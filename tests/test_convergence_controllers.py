@@ -10,6 +10,8 @@ from pysdc_tpu.convergence.crash import StopAtMaxRuntime, StopAtNan
 from pysdc_tpu.convergence.step_size_limiter import StepSizeLimiter, StepSizeRounding
 from pysdc_tpu.core.errors import ConvergenceError, ParameterError
 from pysdc_tpu.models.dahlquist import Dahlquist
+from pysdc_tpu.models.heat import HeatNDForced
+from pysdc_tpu.sweepers.imex import IMEXSweeper
 from pysdc_tpu.models.odes import VanDerPol
 from pysdc_tpu.parallel.nonmpi import ControllerNonMPI
 from pysdc_tpu.sweepers.generic_implicit import GenericImplicit
@@ -121,3 +123,52 @@ def test_stop_at_max_runtime():
     P = c.MS[0].levels[0].prob
     with pytest.raises(ConvergenceError):
         c.run(P.u_exact(0.0), 0.0, 1.0)
+
+
+def test_adaptive_collocation_reaches_final_rule_accuracy():
+    """Switching 2->4 nodes mid-step must land on the 4-node collocation
+    solution."""
+    from pysdc_tpu.convergence.adaptive_collocation import AdaptiveCollocation
+
+    desc = dict(
+        problem_class=HeatNDForced,
+        problem_params=dict(nu=0.1, freq=4, nvars=255, bc='dirichlet-zero'),
+        sweeper_class=IMEXSweeper,
+        sweeper_params=dict(quad_type='RADAU-RIGHT', num_nodes=3, QI='LU'),
+        level_params=dict(restol=1e-9, dt=0.1),
+        step_params=dict(maxiter=50),
+        convergence_controllers={AdaptiveCollocation: {'num_nodes': [2, 4], 'restol': [1e-7, 1e-9]}},
+    )
+    c = ControllerNonMPI(1, {'logger_level': 40}, desc)
+    P = c.MS[0].levels[0].prob
+    uend, _ = c.run(P.u_exact(0.0), 0.0, 0.3)
+
+    desc2 = {k: v for k, v in desc.items() if k != 'convergence_controllers'}
+    desc2['sweeper_params'] = dict(desc['sweeper_params'], num_nodes=4)
+    c2 = ControllerNonMPI(1, {'logger_level': 40}, desc2)
+    u2, _ = c2.run(P.u_exact(0.0), 0.0, 0.3)
+    assert float(jnp.max(jnp.abs(uend - u2))) < 1e-8
+
+
+def test_adaptivity_collocation_controls_step_size():
+    from pysdc_tpu.convergence.adaptivity import AdaptivityCollocation
+
+    desc = dict(
+        problem_class=HeatNDForced,
+        problem_params=dict(nu=0.1, freq=4, nvars=255, bc='dirichlet-zero'),
+        sweeper_class=IMEXSweeper,
+        sweeper_params=dict(quad_type='RADAU-RIGHT', num_nodes=3, QI='LU'),
+        level_params=dict(restol=1e-9, dt=0.05),
+        step_params=dict(maxiter=60),
+        convergence_controllers={
+            AdaptivityCollocation: {'e_tol': 1e-7, 'adaptive_coll_params': {'num_nodes': [2, 3]}}
+        },
+    )
+    c = ControllerNonMPI(1, {'logger_level': 40}, desc)
+    P = c.MS[0].levels[0].prob
+    uend, stats = c.run(P.u_exact(0.0), 0.0, 0.3)
+    dts = [v for _, v in get_sorted(stats, type='dt', recomputed=False)]
+    assert len(set(f'{d:.4f}' for d in dts)) > 1, 'step size never changed'
+    assert all(0.001 < d < 0.2 for d in dts)
+    err = float(jnp.max(jnp.abs(uend - P.u_exact(sum(dts)))))
+    assert err < 5e-4

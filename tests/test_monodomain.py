@@ -10,6 +10,7 @@ from pysdc_tpu.models.ionic import BiStableJAX, HodgkinHuxleyJAX, NativeIonicMod
 from pysdc_tpu.models.monodomain import MonodomainIMEX
 from pysdc_tpu.parallel.nonmpi import ControllerNonMPI
 from pysdc_tpu.sweepers.imex import IMEXSweeper
+from pysdc_tpu.utils.stats import get_sorted
 
 
 @pytest.fixture(scope='module')
@@ -86,3 +87,64 @@ def test_monodomain_wave_propagates():
     assert V.max() > 0.0, 'no depolarization'
     far = V[len(V) // 3 : len(V) // 2]
     assert far.max() > -60.0, 'wave did not propagate'
+
+
+def test_esdc_phi_functions_accurate():
+    """phi_k quadrature vs the defining power series."""
+    import math
+
+    from pysdc_tpu.sweepers.imexexp import IMEXEXPSweeper
+
+    sw = IMEXEXPSweeper(dict(num_nodes=3))
+
+    def phi_exact(z):
+        if abs(z) >= 1:  # recurrence, stable for large |z|
+            out = [(math.exp(z) - 1.0) / z]
+            for k in (1, 2):
+                out.append((out[-1] - 1.0 / math.factorial(k)) / z)
+            return np.array(out)
+        return np.array([sum(z**n / math.factorial(n + k) for n in range(40)) for k in (1, 2, 3)])
+
+    for z in (-20.0, -5.0, -0.5, 1.5):
+        phi = np.asarray(sw._phi_eval(jnp.asarray([1.0]), 3, jnp.asarray([z]))[0, :, 0])
+        exact = phi_exact(z)
+        assert np.abs((phi - exact) / exact).max() < 1e-8, (z, phi, exact)
+
+
+def test_esdc_monodomain_accuracy_and_convergence():
+    """ESDC (Rush-Larsen exponential SDC) on HH monodomain vs a tight IMEX
+    SDC reference."""
+    from pysdc_tpu.models.monodomain import MonodomainIMEX, MonodomainIMEXEXP
+    from pysdc_tpu.sweepers.imexexp import IMEXEXPSweeper
+
+    pp = dict(nvars=128, ionic_model='hodgkinhuxley', diff=0.1, L=10.0)
+    desc = dict(
+        problem_class=MonodomainIMEX,
+        problem_params=pp,
+        sweeper_class=IMEXSweeper,
+        sweeper_params=dict(num_nodes=5, QI='LU'),
+        level_params=dict(dt=0.005, restol=1e-11),
+        step_params=dict(maxiter=30),
+    )
+    c = ControllerNonMPI(1, {'logger_level': 40}, desc)
+    P = c.MS[0].levels[0].prob
+    uref, _ = c.run(P.u_exact(0.0), 0.0, 0.5)
+
+    errs = []
+    for dt in (0.05, 0.025):
+        desc2 = dict(
+            problem_class=MonodomainIMEXEXP,
+            problem_params=pp,
+            sweeper_class=IMEXEXPSweeper,
+            sweeper_params=dict(num_nodes=3, QI='IE'),
+            level_params=dict(dt=dt, restol=1e-9),
+            step_params=dict(maxiter=50),
+        )
+        c2 = ControllerNonMPI(1, {'logger_level': 40}, desc2)
+        P2 = c2.MS[0].levels[0].prob
+        u2, s2 = c2.run(P2.u_exact(0.0), 0.0, 0.5)
+        iters = [v for _, v in get_sorted(s2, type='niter')]
+        assert max(iters) < 50, 'ESDC failed to converge'
+        errs.append(float(jnp.max(jnp.abs(u2 - uref))))
+    assert errs[0] < 2e-3
+    assert errs[1] < errs[0] / 2, errs  # error must drop with dt

@@ -126,3 +126,22 @@ def test_iteration_estimator_stops_early():
     iters = [v for _, v in get_sorted(stats, type='niter')]
     assert all(i < 10 for i in iters), iters
     assert float(jnp.max(jnp.abs(uend - P.u_exact(0.2)))) < 1e-6
+
+
+def test_acoustic_advection_imex():
+    """Fast-wave-slow-wave acoustic advection vs d'Alembert exact solution."""
+    from pysdc_tpu.models.acoustic import AcousticAdvection1D
+
+    desc = dict(
+        problem_class=AcousticAdvection1D,
+        problem_params=dict(nvars=512, cs=1.0, cadv=0.1, waveno=5),
+        sweeper_class=IMEXSweeper,
+        sweeper_params=dict(num_nodes=3, QI='LU'),
+        level_params=dict(dt=1 / 256, restol=1e-11),
+        step_params=dict(maxiter=20),
+    )
+    c = ControllerNonMPI(1, {'logger_level': 40}, desc)
+    P = c.MS[0].levels[0].prob
+    uend, _ = c.run(P.u_exact(0.0), 0.0, 50 / 256)
+    err = float(jnp.max(jnp.abs(uend - P.u_exact(50 / 256))))
+    assert err < 5e-5, err

@@ -127,3 +127,33 @@ class TestRayleighBenard:
         nus = P.compute_Nusselt_numbers(uend)
         assert nus['V'] > 1.5, f'convection should raise Nu above 1, got {nus}'
         assert float(jnp.max(jnp.abs(uend[1]))) > 0.05, 'no convective velocities'
+
+
+def test_rayleigh_benard_3d():
+    """3D RBC: conductive Nu=1, divergence-free solves, stable integration
+    with convective heat flux beyond onset."""
+    from pysdc_tpu.models.rayleigh_benard import RayleighBenard3D
+    from pysdc_tpu.sweepers.imex import IMEXSweeper
+
+    P = RayleighBenard3D(nx=16, ny=16, nz=12, Rayleigh=2e4)
+    cond = P.u_exact(0.0, noise_level=0)
+    nus = P.compute_Nusselt_numbers(cond)
+    assert abs(nus['V'] - 1) < 1e-10 and abs(nus['t'] - 1) < 1e-10
+
+    sol = P.solve_system(P.u_exact(0.0), 1e-3, cond, 0.0)
+    assert float(jnp.max(jnp.abs(P.compute_divergence(sol)))) < 1e-12
+
+    desc = dict(
+        problem_class=RayleighBenard3D,
+        problem_params=dict(nx=16, ny=16, nz=12, Rayleigh=2e4),
+        sweeper_class=IMEXSweeper,
+        sweeper_params=dict(num_nodes=2, QI='LU'),
+        level_params=dict(dt=0.05, restol=-1),
+        step_params=dict(maxiter=4),
+    )
+    c = ControllerNonMPI(1, {'logger_level': 40}, desc)
+    P2 = c.MS[0].levels[0].prob
+    uend, _ = c.run(P2.u_exact(0.0), 0.0, 0.5)
+    assert bool(jnp.isfinite(uend).all())
+    assert float(jnp.max(jnp.abs(P2.compute_divergence(uend)))) < 1e-10
+    assert -0.05 < float(uend[3].min()) and float(uend[3].max()) < 1.05

@@ -131,3 +131,48 @@ def test_logging_hooks_record_expected_types():
     assert np.asarray(us[-1][1]).shape == (64,)
     works = [v for _, v in get_sorted(stats, type='work_rhs')]
     assert all(w > 0 for w in works)
+
+
+@pytest.mark.parametrize('cls_name,expected_order', [('RKN4', 4), ('VelocityVerletRKN', 2)])
+def test_rkn_harmonic_oscillator_order(cls_name, expected_order):
+    from pysdc_tpu.sweepers import rkn
+
+    cls = getattr(rkn, cls_name)
+    errs = []
+    for dt in (1 / 8, 1 / 16, 1 / 32):  # binary-exact so step counts divide Tend
+        desc = dict(
+            problem_class=HarmonicOscillator,
+            problem_params=dict(k=1.0, mu=0.0),
+            sweeper_class=cls,
+            sweeper_params={},
+            level_params=dict(dt=dt, restol=-1),
+            step_params=dict(maxiter=1),
+        )
+        c = ControllerNonMPI(1, {'logger_level': 40}, desc)
+        P = c.MS[0].levels[0].prob
+        uend, _ = c.run(P.u_init, 0.0, 2.0)
+        ex = P.u_exact(2.0)
+        errs.append(
+            max(float(jnp.max(jnp.abs(uend.pos - ex.pos))), float(jnp.max(jnp.abs(uend.vel - ex.vel))))
+        )
+    orders = [np.log(errs[i] / errs[i + 1]) / np.log(2) for i in range(len(errs) - 1)]
+    assert np.median(orders) > expected_order - 0.35, (orders, errs)
+
+
+def test_rkn_damped_oscillator():
+    """Weak velocity dependence (drag) is handled via the velocity tableau."""
+    from pysdc_tpu.sweepers.rkn import RKN4
+
+    desc = dict(
+        problem_class=HarmonicOscillator,
+        problem_params=dict(k=1.0, mu=0.2),
+        sweeper_class=RKN4,
+        sweeper_params={},
+        level_params=dict(dt=1 / 16, restol=-1),
+        step_params=dict(maxiter=1),
+    )
+    c = ControllerNonMPI(1, {'logger_level': 40}, desc)
+    P = c.MS[0].levels[0].prob
+    uend, _ = c.run(P.u_init, 0.0, 2.0)
+    ex = P.u_exact(2.0)
+    assert float(jnp.max(jnp.abs(uend.pos - ex.pos))) < 1e-4

@@ -91,3 +91,25 @@ def test_restrict_locked_level_raises():
         tr.restrict()
     with pytest.raises(UnlockError):
         tr.prolong()
+
+
+def test_fft_transfer_roundtrip_identity():
+    """Nyquist fold/split: restrict(prolong(g)) == g exactly, and band-limited
+    fine fields survive prolong(restrict(f))."""
+    import numpy as np
+    from pysdc_tpu.transfer.space_fft import FFTTransfer
+
+    class FakeP:
+        def __init__(self, shape):
+            self.shape = shape
+
+    rng = np.random.RandomState(1)
+    for fs, cs in (((64, 64), (32, 32)), ((16, 16, 16), (8, 8, 8)), ((2, 64), (2, 32))):
+        tr = FFTTransfer(FakeP(fs), FakeP(cs), {})
+        g = jnp.asarray(rng.randn(*cs))
+        assert float(jnp.max(jnp.abs(tr.restrict(tr.prolong(g)) - g))) < 1e-13
+
+    tr = FFTTransfer(FakeP((64, 64)), FakeP((32, 32)), {})
+    x = np.arange(64) / 64
+    fb = jnp.asarray(np.sin(2 * np.pi * 3 * np.outer(x, np.ones(64))) + np.cos(2 * np.pi * 5 * np.outer(np.ones(64), x)))
+    assert float(jnp.max(jnp.abs(tr.prolong(tr.restrict(fb)) - fb))) < 1e-13
