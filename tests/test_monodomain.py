@@ -148,3 +148,78 @@ def test_esdc_monodomain_accuracy_and_convergence():
         errs.append(float(jnp.max(jnp.abs(u2 - uref))))
     assert errs[0] < 2e-3
     assert errs[1] < errs[0] / 2, errs  # error must drop with dt
+
+
+# ---------------------------------------------------------------------------
+# Full physiological models: Courtemanche 1998, ten Tusscher 2006 (+smooth)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize('name', ['courtemanche', 'tentusscher', 'tentusscher_smooth'])
+def test_native_matches_jax_full_models(name):
+    """C++ and JAX implementations agree elementwise on a V sweep through
+    every rate branch, with perturbed physiological gating/concentration
+    states (mirrors the reference's ionicmodels build-and-run gate)."""
+    from pysdc_tpu.models.ionic import JAX_MODELS
+
+    native = NativeIonicModel(name, scale=1.0)
+    jaxm = JAX_MODELS[name](scale=1.0)
+    assert native.size == jaxm.size
+    y0 = native.initial_values()
+    rng = np.random.default_rng(7)
+    Y = y0[:, None] * (1.0 + 0.05 * rng.standard_normal((native.size, 64)))
+    Y[0] = np.linspace(-90.0, 40.0, 64)  # sweep V through all branches
+    conc = (16, 17, 18, 19, 20) if name == 'courtemanche' else (13, 14, 15, 17, 18)
+    for i in conc:
+        Y[i] = np.abs(Y[i]) + 1e-6
+    Yj = jnp.asarray(Y)
+
+    fn, fj = native.f(Y), np.asarray(jaxm.f(Yj))
+    assert np.max(np.abs(fn - fj) / (1e-12 + np.abs(fn))) < 1e-8
+    ln, lj = native.lmbda_exp(Y), np.asarray(jaxm.lmbda_exp(Yj))
+    assert np.max(np.abs(ln - lj)) < 1e-8
+    ln2, yn2 = native.lmbda_yinf_exp(Y)
+    lj2, yj2 = jaxm.lmbda_yinf_exp(Yj)
+    assert np.max(np.abs(yn2 - np.asarray(yj2))) < 1e-10
+    assert np.allclose(native.initial_values(), np.asarray(jaxm.initial_values()))
+    assert native.rho_f_expl() == jaxm.rho_f_expl()
+    # f_expl only writes the nonlinear indices
+    fe_n, fe_j = native.f_expl(Y), np.asarray(jaxm.f_expl(Yj))
+    for i in jaxm.f_expl_indices:
+        assert np.max(np.abs(fe_n[i] - fe_j[i]) / (1e-12 + np.abs(fe_n[i]))) < 1e-8
+
+
+@pytest.mark.parametrize('name', ['courtemanche', 'tentusscher'])
+def test_full_models_resting_state_is_quasi_steady(name):
+    """The published initial values are (near) resting states: one relaxed
+    step must not blow up, and dV/dt must be small."""
+    native = NativeIonicModel(name)
+    y0 = native.initial_values()
+    f0 = native.f(y0[:, None])
+    assert np.max(np.abs(f0[0])) < 0.01, 'resting potential must be quasi-steady'
+    assert np.all(np.isfinite(f0))
+
+
+def test_monodomain_with_tentusscher_runs():
+    """Monodomain with the full ventricular model via exponential SDC (the
+    reference's integrator for stiff ionic models): a stimulated strip
+    produces a finite depolarization."""
+    from pysdc_tpu.models.monodomain import MonodomainIMEXEXP
+    from pysdc_tpu.sweepers.imexexp import IMEXEXPSweeper
+
+    desc = dict(
+        problem_class=MonodomainIMEXEXP,
+        problem_params=dict(nvars=64, ionic_model='tentusscher', diff=1.0e-1, L=10.0,
+                            stim_ampl=40.0, stim_dur=2.0),
+        sweeper_class=IMEXEXPSweeper,
+        sweeper_params=dict(num_nodes=3, QI='IE'),
+        level_params=dict(dt=0.02, restol=1e-8),
+        step_params=dict(maxiter=20),
+    )
+    c = ControllerNonMPI(1, {'logger_level': 40}, desc)
+    P = c.MS[0].levels[0].prob
+    uend, stats = c.run(P.u_exact(0.0), 0.0, 0.4)
+    V = np.asarray(uend[0])
+    assert np.all(np.isfinite(np.asarray(uend)))
+    # stimulated region (left edge) must have depolarized away from rest
+    assert V.max() > -80.0
