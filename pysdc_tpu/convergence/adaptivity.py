@@ -61,8 +61,9 @@ class Adaptivity(AdaptivityBase):
         from pysdc_tpu.convergence.estimate_embedded_error import EstimateEmbeddedError
 
         super().dependencies(controller, description, **kwargs)
+        impl = EstimateEmbeddedError.get_implementation(self.params.embedded_error_flavor)
         controller.add_convergence_controller(
-            EstimateEmbeddedError, description=description, params={'rel_error': self.params.rel_error}
+            impl, description=description, params={'rel_error': self.params.rel_error}
         )
 
     def get_new_step_size(self, controller, S, **kwargs):

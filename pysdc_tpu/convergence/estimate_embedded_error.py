@@ -16,6 +16,17 @@ from pysdc_tpu.sweepers.runge_kutta import RungeKutta
 
 
 class EstimateEmbeddedError(ConvergenceController):
+    @classmethod
+    def get_implementation(cls, flavor='standard', useMPI=False):
+        """Flavor dispatch (reference estimate_embedded_error.py:18-38)."""
+        if flavor == 'standard':
+            return EstimateEmbeddedError
+        if flavor == 'linearized':
+            return EstimateEmbeddedErrorLinearized
+        if flavor == 'collocation':
+            return EstimateEmbeddedErrorCollocation
+        raise NotImplementedError(f'Flavor {flavor!r} of EstimateEmbeddedError is not implemented!')
+
     def setup(self, controller, params, description, **kwargs):
         sweeper_type = 'RK' if RungeKutta in description['sweeper_class'].__mro__ else 'SDC'
         return {
@@ -62,6 +73,46 @@ class EstimateEmbeddedError(ConvergenceController):
                     self.estimate_embedded_error_serial(L), np.finfo(float).eps
                 )
                 L.status.increment = L.status.error_embedded_estimate * 1
+
+
+class EstimateEmbeddedErrorLinearized(EstimateEmbeddedError):
+    """Block-parallel embedded error (reference
+    estimate_embedded_error.py:154-229, EstimateEmbeddedErrorLinearizedNonMPI):
+    in block Gauss-Seidel/Jacobi MSSDC the raw sweep difference on step j is a
+    *semi-global* error of the whole chain up to j; subtracting the previous
+    step's raw estimate linearizes it back to a local error so adaptivity does
+    not collapse dt on long blocks."""
+
+    def __init__(self, controller, params, description, **kwargs):
+        super().__init__(controller, params, description, **kwargs)
+        from types import SimpleNamespace
+
+        self.buffers = SimpleNamespace(e_em_last=0.0)
+
+    def setup(self, controller, params, description, **kwargs):
+        return {'averaged': False, **super().setup(controller, params, description, **kwargs)}
+
+    def reset_buffers_nonMPI(self, controller, **kwargs):
+        self.buffers.e_em_last = 0.0
+
+    def post_iteration_processing(self, controller, S, **kwargs):
+        if len(S.levels) > 1 and len(controller.MS) > 1:
+            raise NotImplementedError(
+                'Embedded error estimate only works for serial multi-level or parallel single level'
+            )
+        if S.status.iter > 0 or self.params.sweeper_type == 'RK':
+            averaging = float(S.status.slot + 1) if self.params.averaged else 1.0
+            temp = None
+            for L in S.levels:
+                if L.state is None or (L.uold is None and self.params.sweeper_type == 'SDC'):
+                    continue
+                temp = self.estimate_embedded_error_serial(L)
+                L.status.error_embedded_estimate = max(
+                    abs(temp - self.buffers.e_em_last) / averaging, np.finfo(float).eps
+                )
+                L.status.increment = L.status.error_embedded_estimate * 1
+            if not self.params.averaged and temp is not None:
+                self.buffers.e_em_last = temp * 1.0
 
 
 class EstimateEmbeddedErrorCollocation(ConvergenceController):

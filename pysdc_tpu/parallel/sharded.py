@@ -223,42 +223,151 @@ class ShardedController(Controller):
             for i, bt in enumerate(self.template.base_transfers)
         ]
         self.maxiter = self.template.params.maxiter
+        self._setup_block_policies(description)
+
+    def _setup_block_policies(self, description):
+        """Adaptivity + restart policy on the sharded path (reference
+        controller_MPI runs Adaptivity/BasicRestartingMPI/
+        SpreadStepSizesBlockwiseMPI per rank; here the same math runs as a
+        host-side block policy with identical semantics — embedded error at
+        IT_CHECK, dt_new = beta*dt*(e_tol/e)^(1/maxiter), restart cascade in
+        slot order, blockwise dt spreading from the first restarted step)."""
+        from pysdc_tpu.convergence.adaptivity import Adaptivity
+        from pysdc_tpu.convergence.basic_restarting import BasicRestarting
+
+        self.adaptivity = None
+        self.max_restarts = 10
+        self.crash_after_max_restarts = True
+        self._limiter = {}
+        for cls, params in (description.get('convergence_controllers') or {}).items():
+            if isinstance(cls, type) and issubclass(cls, Adaptivity):
+                if self.template.levels[0].params.restol >= 0:
+                    raise ControllerError('Adaptivity needs restol < 0 (constant order in time)')
+                self.adaptivity = {
+                    'e_tol': params['e_tol'],
+                    'beta': params.get('beta', 0.9),
+                    'flavor': params.get('embedded_error_flavor', 'standard'),
+                }
+                for k in ('dt_min', 'dt_max', 'dt_slope_min', 'dt_slope_max'):
+                    if k in params:
+                        self._limiter[k] = params[k]
+            if isinstance(cls, type) and issubclass(cls, BasicRestarting):
+                self.max_restarts = params.get('max_restarts', 10)
+                self.crash_after_max_restarts = params.get('crash_after_max_restarts', True)
+
+    def _limit_dt(self, dt_new, dt_old):
+        """StepSizeLimiter semantics (step_size_limiter.py:5-155)."""
+        if 'dt_slope_max' in self._limiter:
+            dt_new = min(dt_new, self._limiter['dt_slope_max'] * dt_old)
+        if 'dt_slope_min' in self._limiter:
+            dt_new = max(dt_new, self._limiter['dt_slope_min'] * dt_old)
+        if 'dt_max' in self._limiter:
+            dt_new = min(dt_new, self._limiter['dt_max'])
+        if 'dt_min' in self._limiter:
+            dt_new = max(dt_new, self._limiter['dt_min'])
+        return dt_new
 
     def all_steps(self):
         return [self.template]
 
     # ------------------------------------------------------------------
     def run(self, u0, t0, Tend):
-        """Block time loop.  Returns (uend, stats) like the reference."""
+        """Block time loop.  Returns (uend, stats) like the reference.
+        With Adaptivity configured, each block may be restarted with a
+        smaller dt and the accepted dt is spread to the next block
+        (reference basic_restarting.py / spread_step_sizes.py semantics)."""
+        from pysdc_tpu.core.errors import ConvergenceError
         from pysdc_tpu.core.hooks import Entry
 
         P = self.num_procs
         dt = self.template.levels[0].params.dt
-        restol = self.template.levels[0].params.restol
+        dt_initial = dt
         stats = {}
 
         t_block = float(t0)
         uend = jnp.asarray(u0)
         eps = max(10 * np.finfo(float).eps, 1e-12 * abs(Tend))
 
-        n_sync = 0
+        restarts_in_a_row = 0
+        num_restarts_at = {}  # time -> restart count (stats Entry field)
+
         while t_block < Tend - eps:
             n_active = min(P, max(1, int(np.ceil((Tend - t_block - eps) / dt))))
             t_arr = t_block + dt * np.arange(P)
             active_time = np.arange(P) < n_active
 
-            iters, res_hist = self._run_block(uend, jnp.asarray(t_arr), dt, active_time)
-            n_sync += 1
+            iters, res_hist, e_est = self._run_block(uend, jnp.asarray(t_arr), dt, active_time)
 
+            # -- adaptivity: dt_new + restart decision per step ------------
+            restart = np.zeros(P, bool)
+            dt_new = np.full(P, np.nan)
+            if self.adaptivity is not None:
+                e_tol, beta = self.adaptivity['e_tol'], self.adaptivity['beta']
+                if self.adaptivity['flavor'] == 'linearized':
+                    # linearize the semi-global block estimate by subtracting
+                    # the previous step's raw estimate (reference
+                    # estimate_embedded_error.py:154-229)
+                    raw = e_est.copy()
+                    prev = np.concatenate([[0.0], raw[:-1]])
+                    e_est = np.maximum(np.abs(raw - prev), np.finfo(float).eps)
+                for j in range(n_active):
+                    dt_new[j] = self._limit_dt(
+                        beta * dt * (e_tol / e_est[j]) ** (1.0 / max(iters[j], 1)), dt
+                    )
+                    restart[j] = e_est[j] >= e_tol
+                # restart cascade in slot order (basic_restarting.py:54-67)
+                for j in range(1, n_active):
+                    restart[j] = restart[j] or restart[j - 1]
+                if restart.any() and restarts_in_a_row >= self.max_restarts:
+                    if self.crash_after_max_restarts:
+                        raise ConvergenceError(
+                            f'Restarted {restarts_in_a_row} time(s) already, surrendering now.'
+                        )
+                    restart[:] = False
+
+            restart_at = int(np.where(restart)[0][0]) if restart.any() else n_active
+
+            # -- stats ------------------------------------------------------
             for j in range(n_active):
-                key = dict(process=j, process_sweeper=0, time=float(t_arr[j]), level=0, sweep=1, num_restarts=0)
+                tj = float(t_arr[j])
+                nr = num_restarts_at.get(tj, 0)
+                key = dict(process=j, process_sweeper=0, time=tj, level=0, sweep=1, num_restarts=nr)
                 stats[Entry(iter=iters[j], type='niter', **key)] = iters[j]
+                stats[Entry(iter=iters[j], type='dt', **key)] = dt
+                stats[Entry(iter=iters[j], type='restart', **key)] = int(restart[j])
+                if self.adaptivity is not None:
+                    stats[Entry(iter=iters[j], type='error_embedded_estimate', **key)] = float(e_est[j])
                 for it, r in enumerate(res_hist):
                     if not np.isnan(r[j]):
                         stats[Entry(iter=it + 1, type='residual_post_iteration', **key)] = float(r[j])
 
-            uend = self._block_uend[n_active - 1]
-            t_block = float(t_arr[n_active - 1]) + dt
+            # -- prepare next block (spread_step_sizes.py semantics) --------
+            if self.adaptivity is not None:
+                ra = min(restart_at, n_active - 1)
+                spread_from = ra
+                dt_all_ra = dt if ra > 0 else 0.0
+                dt_max_reach = (Tend - float(t_arr[ra]) - dt_all_ra) / n_active
+                proposed = dt_new[spread_from] if not np.isnan(dt_new[spread_from]) else dt
+                dt_next = min(proposed, max(dt_max_reach, dt_initial))
+            else:
+                dt_next = dt
+
+            if restart.any():
+                for j in range(restart_at, n_active):
+                    tj = float(t_arr[j])
+                    num_restarts_at[tj] = num_restarts_at.get(tj, 0) + 1
+                restarts_in_a_row += 1
+                uend = (
+                    self._block_states.u[restart_at, 0]
+                    if restart_at > 0
+                    else uend
+                )
+                t_block = float(t_arr[restart_at])
+            else:
+                restarts_in_a_row = 0
+                uend = self._block_uend[n_active - 1]
+                t_block = float(t_arr[n_active - 1]) + dt
+            dt = dt_next
 
         return uend, stats
 
@@ -287,6 +396,11 @@ class ShardedController(Controller):
         prev_done = np.zeros(P, bool)
         iters = np.zeros(P, int)
         res_hist = []
+        # embedded error estimate: || u^k[-1] - u^{k-1}[-1] ||_max per step,
+        # snapshotted at IT_CHECK (matches EstimateEmbeddedError + StoreUOld
+        # ordering in the virtual controller)
+        uold_last = None
+        e_est = np.full(P, np.nan)
 
         while not done.all():
             active = jnp.asarray(~done)
@@ -298,6 +412,13 @@ class ShardedController(Controller):
 
             norms = np.asarray(fine.residual(fine.state, dt))
             res_hist.append(np.where(~done, norms, np.nan))
+
+            if self.adaptivity is not None:
+                u_last = fine.state.u[:, -1]
+                if uold_last is not None:
+                    diff = jnp.abs(u_last - uold_last).reshape(P, -1).max(axis=1)
+                    e_est = np.where(~done, np.maximum(np.asarray(diff), np.finfo(float).eps), e_est)
+                uold_last = u_last
 
             # convergence control (CheckConvergence semantics; status.sweep
             # is always >= 1 here, so restol may trigger at iteration 0 just
@@ -332,7 +453,8 @@ class ShardedController(Controller):
                     fine.state = fine.sweep(fine.state, t_arr, dt, active, 0)
 
         self._block_uend = fine.endpoint(fine.state, t_arr, dt, jnp.ones(P, bool), fine.uend)
-        return iters.tolist(), res_hist
+        self._block_states = fine.state
+        return iters.tolist(), res_hist, e_est
 
     def _recv_mask(self, done, prev_done):
         P = self.num_procs

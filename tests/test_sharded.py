@@ -108,3 +108,39 @@ def test_graft_entry_surface():
     out = jax.jit(fn)(*args)
     assert np.isfinite(float(out[1]))
     g.dryrun_multichip(len(jax.devices()))
+
+
+def test_sharded_adaptivity_matches_virtual():
+    """Adaptivity + restarts on the sharded path: accepted step sizes,
+    restart pattern, and solution must match the virtual controller
+    (controller_MPI runs the same policies per rank in the reference)."""
+    from pysdc_tpu.convergence.adaptivity import Adaptivity
+    from pysdc_tpu.models.odes import VanDerPol
+
+    desc = dict(
+        problem_class=VanDerPol,
+        problem_params=dict(mu=5.0, u0=(2.0, 0.0), newton_tol=1e-10),
+        sweeper_class=GenericImplicit,
+        sweeper_params=dict(quad_type='RADAU-RIGHT', num_nodes=3, QI='LU'),
+        level_params=dict(restol=-1.0, dt=1e-2),
+        step_params=dict(maxiter=7),
+        convergence_controllers={Adaptivity: {'e_tol': 1e-7, 'embedded_error_flavor': 'linearized'}},
+    )
+    cp = {'logger_level': 40, 'mssdc_jac': True}
+
+    ref = ControllerNonMPI(4, cp, desc)
+    P = ref.MS[0].levels[0].prob
+    u_ref, s_ref = ref.run(P.u_exact(0.0), 0.0, 0.4)
+    dts_ref = get_sorted(s_ref, type='dt', recomputed=False)
+    restarts_ref = sum(v for _, v in get_sorted(s_ref, type='restart'))
+
+    sh = ShardedController(4, cp, desc, mesh=make_mesh(n_time=4, n_space=1))
+    u_sh, s_sh = sh.run(P.u_exact(0.0), 0.0, 0.4)
+    dts_sh = get_sorted(s_sh, type='dt', recomputed=False)
+    restarts_sh = sum(v for _, v in get_sorted(s_sh, type='restart'))
+
+    assert len(dts_ref) == len(dts_sh), (len(dts_ref), len(dts_sh))
+    for (t1, d1), (t2, d2) in zip(dts_ref, dts_sh):
+        assert abs(t1 - t2) < 1e-10 and abs(d1 - d2) < 1e-9, ((t1, d1), (t2, d2))
+    assert restarts_ref == restarts_sh
+    assert float(jnp.max(jnp.abs(u_ref - u_sh))) < 1e-9
