@@ -81,6 +81,79 @@ def _empirical_order(nodes: np.ndarray, weights: np.ndarray, tleft: float, trigh
     return order
 
 
+def _fh_weights(nodes: np.ndarray, d: int) -> np.ndarray:
+    """Blended Floater-Hormann barycentric weights for rational interpolation
+    on equidistant nodes (RDC; reference projects/RDC/equidistant_RDC.py:74-105,
+    after G. Klein).  ``d`` is the blending degree: d = M-1 recovers the
+    polynomial barycentric weights."""
+    n = nodes.size - 1
+    w = np.zeros(n + 1)
+    for k in range(n + 1):
+        terms = []
+        for i in range(max(k - d, 0), min(k, n - d) + 1):
+            prod = 1.0
+            for j in range(i, i + d + 1):
+                if j != k:
+                    prod *= nodes[k] - nodes[j]
+            terms.append((-1.0) ** (i - 1) / prod)
+        # summation in ascending magnitude for floating-point robustness
+        w[k] = np.sum(sorted(terms, key=abs))
+    return w
+
+
+def _barycentric_basis_at(nodes: np.ndarray, w: np.ndarray, x: np.ndarray) -> np.ndarray:
+    """Evaluate all barycentric (rational) basis functions e_k at points x.
+
+    Returns (len(nodes), len(x)); exact node hits handled by switching to the
+    indicator row.  Second barycentric form: e_k(x) = (w_k/(x-x_k)) / sum_j."""
+    x = np.asarray(x, float).ravel()
+    diff = x[None, :] - nodes[:, None]
+    exact = np.abs(diff) < 1e-14
+    safe = np.where(exact, 1.0, diff)
+    terms = w[:, None] / safe
+    terms = np.where(exact, 0.0, terms)
+    den = np.sum(terms, axis=0)
+    hit_cols = exact.any(axis=0)
+    vals = terms / np.where(hit_cols, 1.0, den)[None, :]
+    vals[:, hit_cols] = exact[:, hit_cols].astype(float)
+    return vals
+
+
+def _rdc_collocation(M: int, tleft: float, tright: float, d: int | None = None) -> Collocation:
+    """Equidistant-RDC collocation: rational (FH-blended) deferred corrections
+    (reference Equidistant_RDC, projects/RDC/equidistant_RDC.py:19-168)."""
+    nodes = np.linspace(tleft, tright, M)
+    d = min(M - 1, 15) if d is None else min(M - 1, d)
+    fh = _fh_weights(nodes, d)
+
+    tau, omega = np.polynomial.legendre.leggauss(M)
+
+    def integrate_rows(bs):
+        """Integrals of every basis function from tleft to each b in bs."""
+        out = np.zeros((len(bs), M))
+        for r, b in enumerate(bs):
+            phi = (b - tleft) / 2 * tau + (b + tleft) / 2
+            vals = _barycentric_basis_at(nodes, fh, phi)
+            out[r] = (b - tleft) / 2 * (vals @ omega)
+        return out
+
+    weights = integrate_rows([tright])[0]
+    Q = np.zeros((M + 1, M + 1))
+    Q[1:, 1:] = integrate_rows(nodes)
+    S = np.zeros((M + 1, M + 1))
+    S[1] = Q[1]
+    S[2:] = np.diff(Q[1:], axis=0)
+    delta = np.empty(M)
+    delta[0] = nodes[0] - tleft
+    delta[1:] = np.diff(nodes)
+    return Collocation(
+        num_nodes=M, node_type='EQUID-RDC', quad_type='LOBATTO',
+        tleft=float(tleft), tright=float(tright),
+        nodes=nodes, weights=weights, Qmat=Q, Smat=S, delta_m=delta,
+        order=M, left_is_node=True, right_is_node=True,
+    )
+
+
 @functools.lru_cache(maxsize=None)
 def get_collocation(
     num_nodes: int,
@@ -90,6 +163,8 @@ def get_collocation(
     tright: float = 1.0,
 ) -> Collocation:
     M = int(num_nodes)
+    if node_type == 'EQUID-RDC':
+        return _rdc_collocation(M, tleft, tright)
     nodes = quadrature.nodes(M, node_type, quad_type, tleft, tright)
 
     # weights over the full interval + Q rows (tleft -> node_m), via exact
