@@ -211,3 +211,158 @@ class ProtheroRobinson(NewtonODE):
 
     def u_exact(self, t, u_init=None, t_init=0.0):
         return jnp.full((1,), jnp.cos(t), self.dtype)
+
+
+class ProtheroRobinsonNonLinear(ProtheroRobinson):
+    """Nonlinear Prothero-Robinson form (reference odeScalar.py:36,73-78 with
+    ``nonLinear=True``): u' = -(u^3 - g(t)^3)/eps + g'(t), g = cos."""
+
+    def eval_f(self, u, t):
+        self.work_counters['rhs']()
+        return -(u**3 - jnp.cos(t) ** 3) / self.epsilon - jnp.sin(t)
+
+
+class ProtheroRobinsonAutonomous(NewtonODE):
+    """Autonomous Prothero-Robinson (reference odeSystem.py:21-238): the time
+    variable becomes a second component v with v' = 1; ``non_linear``
+    selects the cubic form."""
+
+    def __init__(self, epsilon=1e-3, non_linear=False, newton_tol=1e-12,
+                 newton_maxiter=100, dtype=None):
+        super().__init__((2,), newton_tol, newton_maxiter, dtype)
+        self._register(epsilon=epsilon, non_linear=non_linear)
+
+    def eval_f(self, u, t):
+        self.work_counters['rhs']()
+        x, v = u[0], u[1]
+        g, dg = jnp.cos(v), -jnp.sin(v)
+        if self.non_linear:
+            fx = -(x**3 - g**3) / self.epsilon + dg
+        else:
+            fx = -(x - g) / self.epsilon + dg
+        return jnp.stack([fx, jnp.ones_like(v)])
+
+    def u_exact(self, t, u_init=None, t_init=0.0):
+        return jnp.asarray([jnp.cos(t), t], self.dtype)
+
+
+class Kaps(NewtonODE):
+    """Kaps singular-perturbation problem (reference odeSystem.py:239-392):
+    u' = -(2 + 1/eps) u + v^2/eps, v' = u - v(1+v); exact u = e^{-2t},
+    v = e^{-t} independent of eps."""
+
+    def __init__(self, epsilon=1e-3, newton_tol=5e-11, newton_maxiter=200, dtype=None):
+        super().__init__((2,), newton_tol, newton_maxiter, dtype)
+        self._register(epsilon=epsilon)
+
+    def eval_f(self, u, t):
+        self.work_counters['rhs']()
+        x, y = u[0], u[1]
+        return jnp.stack([-(2.0 + 1.0 / self.epsilon) * x + y**2 / self.epsilon,
+                          x - y * (1.0 + y)])
+
+    def u_exact(self, t, u_init=None, t_init=0.0):
+        return jnp.asarray([jnp.exp(-2.0 * t), jnp.exp(-t)], self.dtype)
+
+
+class ChemicalReaction3Var(NewtonODE):
+    """Stiff 3-species chemical reaction (reference odeSystem.py:394-578,
+    Van der Houwen & Sommeijer 1991); reference solution via scipy."""
+
+    u0 = (0.990731920827, 1.009264413846, -0.366532612659e-5)
+
+    def __init__(self, newton_tol=5e-11, newton_maxiter=200, dtype=None):
+        super().__init__((3,), newton_tol, newton_maxiter, dtype)
+
+    def eval_f(self, u, t):
+        self.work_counters['rhs']()
+        c1, c2, c3 = u[0], u[1], u[2]
+        return -jnp.stack([
+            0.013 * c1 + 1000.0 * c3 * c1,
+            2500.0 * c3 * c2,
+            0.013 * c1 + 1000.0 * c1 * c3 + 2500.0 * c2 * c3,
+        ])
+
+    def u_exact(self, t, u_init=None, t_init=0.0):
+        if float(t) == 0.0:
+            return jnp.asarray(self.u0, self.dtype)
+        u_init = jnp.asarray(self.u0, self.dtype) if u_init is None else u_init
+        return self.generate_scipy_reference_solution(
+            lambda tt, u: np.asarray(self.eval_f(jnp.asarray(u), tt)), t, u_init, t_init
+        )
+
+
+class JacobiElliptic(NewtonODE):
+    """Jacobi elliptic functions system (reference odeSystem.py:745-908):
+    u' = vw, v' = -uw, w' = -0.51 uv with (0, 1, 1) start."""
+
+    u0 = (0.0, 1.0, 1.0)
+
+    def __init__(self, newton_tol=5e-11, newton_maxiter=200, dtype=None):
+        super().__init__((3,), newton_tol, newton_maxiter, dtype)
+
+    def eval_f(self, u, t):
+        self.work_counters['rhs']()
+        x, y, z = u[0], u[1], u[2]
+        return jnp.stack([y * z, -x * z, -0.51 * x * y])
+
+    def u_exact(self, t, u_init=None, t_init=0.0):
+        if float(t) == 0.0:
+            return jnp.asarray(self.u0, self.dtype)
+        u_init = jnp.asarray(self.u0, self.dtype) if u_init is None else u_init
+        return self.generate_scipy_reference_solution(
+            lambda tt, u: np.asarray(self.eval_f(jnp.asarray(u), tt)), t, u_init, t_init
+        )
+
+
+class NonlinearODE1(NewtonODE):
+    """u' = sqrt(1 - u), u(0) = 0, exact u = t - t^2/4 — derivative singular
+    at u = 1 (reference nonlinear_ODE_1.py:9-124)."""
+
+    def __init__(self, u0=0.0, newton_tol=5e-11, newton_maxiter=200, dtype=None):
+        super().__init__((1,), newton_tol, newton_maxiter, dtype)
+        self._register(u0=u0)
+
+    def eval_f(self, u, t):
+        self.work_counters['rhs']()
+        return jnp.sqrt(jnp.maximum(1.0 - u, 0.0))
+
+    def u_exact(self, t, u_init=None, t_init=0.0):
+        return jnp.full((1,), t - t**2 / 4.0, self.dtype)
+
+
+class PolynomialTestEquation(Problem):
+    """Dummy problem whose solution is a random-coefficient polynomial of
+    ``t`` and whose ``solve_system`` returns the exact solution — for testing
+    operations that are exact on polynomials, e.g. collocation transfer and
+    polynomial error estimation (reference polynomial_test_problem.py:7-101)."""
+
+    def __init__(self, degree=1, seed=26266, dtype=None):
+        super().__init__(shape=(1,), dtype=dtype)
+        self._register(degree=degree, seed=seed)
+        rng = np.random.RandomState(seed=seed)
+        self.coeffs = rng.rand(degree)
+        self.poly = np.polynomial.Polynomial(self.coeffs)
+        self.dpoly = self.poly.deriv(m=1)
+
+    def eval_f(self, u, t):
+        return jnp.full((1,), jnp.polyval(jnp.asarray(self.dpoly.coef[::-1]), t), self.dtype)
+
+    def solve_system(self, rhs, factor, u0, t):
+        return self.u_exact(t)
+
+    def u_exact(self, t, u_init=None, t_init=0.0):
+        return jnp.full((1,), jnp.polyval(jnp.asarray(self.poly.coef[::-1]), t), self.dtype)
+
+
+class PolynomialTestEquationIMEX(PolynomialTestEquation):
+    """IMEX split: half the derivative implicit, half explicit
+    (reference polynomial_test_problem.py:102-124)."""
+
+    f_kind = 'imex'
+
+    def eval_f(self, u, t):
+        from pysdc_tpu.core.state import IMEX
+
+        d = jnp.full((1,), jnp.polyval(jnp.asarray(self.dpoly.coef[::-1]), t), self.dtype)
+        return IMEX(impl=d / 2.0, expl=d / 2.0)
