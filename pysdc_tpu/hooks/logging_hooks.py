@@ -182,3 +182,93 @@ class LogRestarts(Hooks):
             type='restart',
             **_entry_kwargs(step, level_number),
         )
+
+
+class LogExtrapolationErrorEstimate(Hooks):
+    """Log the Taylor-extrapolation error estimate
+    (reference log_extrapolated_error_estimate.py: type
+    'error_extrapolation_estimate', filled by EstimateExtrapolationError)."""
+
+    def post_step(self, step, level_number):
+        super().post_step(step, level_number)
+        L = step.levels[level_number]
+        est = getattr(L.status, 'error_extrapolation_estimate', None)
+        if est is not None:
+            self.add_to_stats(
+                value=est, type='error_extrapolation_estimate', **_entry_kwargs(step, level_number)
+            )
+
+
+class LogToPickleFile(Hooks):
+    """Pickle the solution after every step into ``path/file_name_<time>.pickle``
+    (reference log_solution.py:73-130: LogToPickleFile).  Class attributes
+    ``path``/``file_name``/``logging_condition`` configure it, matching the
+    reference's classmethod-configured pattern."""
+
+    path = None
+    file_name = 'solution'
+
+    @staticmethod
+    def logging_condition(L):
+        return True
+
+    @classmethod
+    def process_solution(cls, L):
+        return {'t': float(L.time + L.dt), 'u': np.asarray(L.uend)}
+
+    def post_step(self, step, level_number):
+        super().post_step(step, level_number)
+        import os
+        import pickle
+
+        L = step.levels[level_number]
+        if not type(self).logging_condition(L):
+            return
+        L.compute_end_point()
+        path = type(self).path or '.'
+        os.makedirs(path, exist_ok=True)
+        data = type(self).process_solution(L)
+        with open(os.path.join(path, f'{type(self).file_name}_{L.time + L.dt:.8f}.pickle'), 'wb') as fh:
+            pickle.dump(data, fh)
+
+
+class PlotPostStep(Hooks):
+    """Render the solution after each (skip_plot_interval-th) step
+    (reference implementations/hooks/plotting.py: PlotPostStep).  Uses the
+    problem's ``plot``/``get_fig`` protocol when present, else a line/imshow
+    fallback; saves PNGs to ``save_plot`` if set (never blocks on a GUI)."""
+
+    save_plot = None  # path prefix; None -> keep figures in memory only
+    plot_every = 1
+
+    def __init__(self):
+        super().__init__()
+        self.__counter = 0
+
+    def post_step(self, step, level_number):
+        super().post_step(step, level_number)
+        self.__counter += 1
+        if self.__counter % type(self).plot_every:
+            return
+        import matplotlib
+
+        matplotlib.use('Agg', force=False)
+        import matplotlib.pyplot as plt
+
+        L = step.levels[level_number]
+        L.compute_end_point()
+        prob = L.prob
+        if hasattr(prob, 'plot'):
+            fig = prob.plot(L.uend, t=L.time + L.dt)
+        else:
+            fig, ax = plt.subplots()
+            u = np.asarray(L.uend)
+            if u.ndim >= 2:
+                ax.imshow(u.reshape(u.shape[-2], u.shape[-1]) if u.ndim > 2 else u)
+            else:
+                ax.plot(u)
+            ax.set_title(f't = {L.time + L.dt:.4f}')
+        if type(self).save_plot is not None:
+            fig = fig if fig is not None else plt.gcf()
+            fig.savefig(f'{type(self).save_plot}_{self.__counter:06d}.png', dpi=100)
+        plt.close('all')

@@ -94,7 +94,7 @@ def stencil2d_periodic(u, c0: float, cx: float, cy: float, interpret: bool | Non
         kernel,
         out_shape=jax.ShapeDtypeStruct((nx, ny), u.dtype),
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((tx, ty), lambda i, j: (i, j), memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((tx + 2, ty + 2), u.dtype),
