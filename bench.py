@@ -31,14 +31,14 @@ def bench_tpu(n=2048, M=4, k_inner=10, reps=4):
     prob = HeatND(nvars=(n, n), nu=0.1, freq=2, bc='periodic', dtype=jnp.float32)
     sweep = GenericImplicit({'num_nodes': M, 'quad_type': 'RADAU-RIGHT', 'QI': 'LU'})
 
-    # k sweeps fused into one XLA program: the sustained-iteration fast path
-    # (host dispatch through the runtime costs ~1.7 ms per call otherwise)
+    # k sweeps fused into one XLA program via the diagonal-basis multi-sweep
+    # fast path (ops/diag_sdc.py): one transform in, k elementwise sweeps,
+    # one transform out — gated against looped update_nodes in
+    # tests/test_diag_sdc.py, so this is the same math the reference loops
+    # through scipy splu solves (generic_implicit.py:51-103)
     @jax.jit
     def k_sweeps(state, t, dt):
-        def body(i, s):
-            return sweep.update_nodes(prob, s, t, dt, 0)
-
-        state = jax.lax.fori_loop(0, k_inner, body, state)
+        state = sweep.update_nodes_k(prob, state, t, dt, k_inner)
         _, res = sweep.compute_residual(state, dt)
         return state, res
 

@@ -121,6 +121,14 @@ class Sweeper:
     def draw_random_val(self) -> float:
         return float(self._rng.rand(1)[0])
 
+    def update_nodes_k(self, prob, state: LevelState, t, dt, n_sweeps: int, k0: int = 0) -> LevelState:
+        """``n_sweeps`` consecutive sweeps.  Base implementation loops
+        ``update_nodes``; subclasses may dispatch to a fused fast path
+        (GenericImplicit → diagonal-basis sweeps for linear problems)."""
+        for k in range(k0, k0 + n_sweeps):
+            state = self.update_nodes(prob, state, t, dt, k)
+        return state
+
     def integrate(self, state: LevelState, dt) -> jnp.ndarray:
         """dt * Q @ f over the node axis -> (M, *shape)
         (reference generic_implicit.py:29-48)."""

@@ -62,6 +62,12 @@ class AdvectionND(Problem):
             return x
         return jnp.meshgrid(*([x] * self.ndim), indexing='ij')
 
+    @property
+    def diagonalizable_operator(self):
+        """Linear autonomous f = A@u: fused diagonal-basis multi-sweeps apply
+        (ops/diag_sdc.py); direct solver only, see HeatND."""
+        return self.A if self.solver_type == 'direct' else None
+
     def eval_f(self, u, t):
         self.work_counters['rhs']()
         return self.A.apply(u)

@@ -63,6 +63,14 @@ class HeatND(Problem):
         return len(self.nvars)
 
     @property
+    def diagonalizable_operator(self):
+        """eval_f is exactly A@u and solves are exact diagonal-basis solves,
+        so multi-sweep SDC may run fused in the basis (ops/diag_sdc.py).
+        Only for the direct solver (iterative paths must match the reference's
+        solver_type semantics, work counters included)."""
+        return self.A if self.solver_type == 'direct' else None
+
+    @property
     def grids(self):
         """ND meshgrid tuple (matches reference generic_ND_FD.grids)."""
         x = jnp.asarray(self.xvals, self.dtype)
@@ -113,6 +121,9 @@ class HeatNDForced(HeatND):
     (reference ``heatNd_forced``)."""
 
     f_kind = 'imex'
+
+    #: forcing term makes f nonautonomous -> no fused diagonal sweeps
+    diagonalizable_operator = None
 
     def __init__(self, nvars=512, nu=0.1, freq=2, stencil_type='center', order=2,
                  lintol=1e-12, liniter=10000, solver_type='direct', bc='periodic', dtype=None):

@@ -201,6 +201,30 @@ class SeparableFDOperator:
         """Full ND symbol (scaled) — useful for exact solutions/tests."""
         return self.scale * self._lam_nd
 
+    # -- diagonal-basis interface (ops/diag_sdc.py multi-sweep fast path) --
+    @property
+    def diag_symbol(self):
+        """Scaled symbol in the basis used by diag_forward (rfft-reduced
+        when the operator is all-periodic with a real symbol)."""
+        return self.scale * (self._lam_rfft if self._rfft_ok else self._lam_nd)
+
+    def diag_forward(self, x):
+        """Transform (trailing spatial axes; leading axes batch) to the
+        operator's diagonal basis."""
+        if self._rfft_ok and not jnp.iscomplexobj(x):
+            axes = tuple(range(x.ndim - self.ndim, x.ndim))
+            return jnp.fft.rfftn(x, axes=axes)
+        return self._forward(x)
+
+    def diag_backward(self, xhat, dtype, real: bool):
+        if self._rfft_ok and real:
+            axes = tuple(range(xhat.ndim - self.ndim, xhat.ndim))
+            return jnp.fft.irfftn(xhat, s=self.shape, axes=axes).astype(dtype)
+        x = self._backward(xhat)
+        if real:
+            x = jnp.real(x)
+        return x.astype(dtype)
+
 
 class SpectralOperator:
     """Exact spectral differential operator on a periodic box.
@@ -253,3 +277,17 @@ class SpectralOperator:
         if not jnp.iscomplexobj(rhs):
             x = jnp.real(x)
         return x.astype(rhs.dtype)
+
+    # -- diagonal-basis interface (ops/diag_sdc.py multi-sweep fast path) --
+    @property
+    def diag_symbol(self):
+        return jnp.asarray(self.symbol)
+
+    def diag_forward(self, x):
+        return jnp.fft.fftn(x, axes=self._axes(x))
+
+    def diag_backward(self, xhat, dtype, real: bool):
+        x = jnp.fft.ifftn(xhat, axes=self._axes(xhat))
+        if real:
+            x = jnp.real(x)
+        return x.astype(dtype)

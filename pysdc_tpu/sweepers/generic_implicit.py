@@ -78,3 +78,15 @@ class GenericImplicit(Sweeper):
         u = jnp.stack(u_list, axis=0)
         f = jnp.stack(f_list, axis=0)
         return LevelState(u=u, f=f, tau=state.tau)
+
+    def update_nodes_k(self, prob, state: LevelState, t, dt, n_sweeps: int, k0: int = 0) -> LevelState:
+        """Fused multi-sweep: when the problem advertises a diagonalizable
+        operator (linear, autonomous), run all sweeps in its diagonal basis —
+        one transform in, k elementwise sweeps, one transform out
+        (ops/diag_sdc.py).  Falls back to looping update_nodes otherwise."""
+        op = getattr(prob, 'diagonalizable_operator', None)
+        if op is not None:
+            from pysdc_tpu.ops.diag_sdc import diagonal_sweeps
+
+            return diagonal_sweeps(op, self, state, t, dt, n_sweeps, k0)
+        return super().update_nodes_k(prob, state, t, dt, n_sweeps, k0)
