@@ -1,9 +1,10 @@
-"""Block restarting driven by adaptivity/resilience policies.
+"""Block-restart propagation with a patience limit.
 
-Mirrors the reference ``BasicRestartingNonMPI``
-(``implementations/convergence_controller_classes/basic_restarting.py:9-218``):
-every step after the first one flagged for restart restarts too, with a
-patience limit ``max_restarts``.
+Behavioral counterpart of the reference's ``BasicRestartingNonMPI``
+(``convergence_controller_classes/basic_restarting.py:9-218``): once any step
+in a block raises the restart flag, every later step in the block restarts
+too, and a step that keeps getting restarted eventually either crashes the
+run or is forced through, depending on ``crash_after_max_restarts``.
 """
 
 from __future__ import annotations
@@ -15,12 +16,16 @@ from pysdc_tpu.core.errors import ConvergenceError
 
 
 class BasicRestarting(ConvergenceController):
+    """Propagate restart flags downstream within a block; limit repeats."""
+
     def __init__(self, controller, params, description, **kwargs):
         super().__init__(controller, params, description, **kwargs)
-        self.buffers = SimpleNamespace(restart=False, max_restart_reached=False)
+        # scratch shared across the block within one convergence check
+        self.scratch = SimpleNamespace(cascade=False, patience_exhausted=False)
+        self.buffers = self.scratch  # reset_buffers_nonMPI contract
 
     def setup(self, controller, params, description, **kwargs):
-        defaults = {
+        mine = {
             'control_order': 95,
             'max_restarts': 10,
             'crash_after_max_restarts': True,
@@ -29,7 +34,7 @@ class BasicRestarting(ConvergenceController):
         from pysdc_tpu.hooks.logging_hooks import LogRestarts
 
         controller.add_hook(LogRestarts)
-        return {**defaults, **super().setup(controller, params, description, **kwargs)}
+        return {**mine, **super().setup(controller, params, description, **kwargs)}
 
     def dependencies(self, controller, description, **kwargs):
         from pysdc_tpu.convergence.spread_step_sizes import SpreadStepSizesBlockwise
@@ -48,34 +53,42 @@ class BasicRestarting(ConvergenceController):
         self.set_step_status_variable('restart', False)
 
     def reset_buffers_nonMPI(self, controller, **kwargs):
-        self.buffers.restart = False
-        self.buffers.max_restart_reached = False
+        self.scratch.cascade = False
+        self.scratch.patience_exhausted = False
 
     def determine_restart(self, controller, S, MS=None, **kwargs):
         if S.status.first:
-            self.buffers.max_restart_reached = S.status.restarts_in_a_row >= self.params.max_restarts
-            if self.buffers.max_restart_reached and S.status.restart:
+            self.scratch.patience_exhausted = S.status.restarts_in_a_row >= self.params.max_restarts
+            if self.scratch.patience_exhausted and S.status.restart:
                 if self.params.crash_after_max_restarts:
                     raise ConvergenceError(
-                        f'Restarted {S.status.restarts_in_a_row} time(s) already, surrendering now.'
+                        f'Giving up after {S.status.restarts_in_a_row} consecutive restarts of the same step.'
                     )
                 self.log(
-                    f'Step(s) restarted {S.status.restarts_in_a_row} time(s) already, maximum reached, moving on...',
+                    f'{S.status.restarts_in_a_row} consecutive restarts hit the limit; accepting the step as is.',
                     S,
                 )
-        self.buffers.restart = S.status.restart or self.buffers.restart
-        S.status.restart = (S.status.restart or self.buffers.restart) and not self.buffers.max_restart_reached
 
-        if S.status.last and self.params.restart_from_first_step and not self.buffers.max_restart_reached:
-            for step in MS:
-                step.status.restart = self.buffers.restart
+        # a raised flag anywhere upstream cascades to this and later steps
+        self.scratch.cascade = self.scratch.cascade or S.status.restart
+        S.status.restart = self.scratch.cascade and not self.scratch.patience_exhausted
+
+        if S.status.last and self.params.restart_from_first_step and not self.scratch.patience_exhausted:
+            for other in MS:
+                other.status.restart = self.scratch.cascade
 
     def prepare_next_block(self, controller, S, size, time, Tend, MS=None, **kwargs):
+        """Carry each step's consecutive-restart counter to whichever slot
+        will re-run its time point in the next block."""
         if S not in MS:
             return
-        restart_from = min([me.status.slot for me in MS if me.status.restart] + [size - 1])
-        if S.status.slot < restart_from:
-            MS[restart_from - S.status.slot].status.restarts_in_a_row = 0
+        flagged = [other.status.slot for other in MS if other.status.restart]
+        resume_at = min(flagged) if flagged else size - 1
+        if S.status.slot < resume_at:
+            # this step completed; its counter resets wherever it lands next
+            MS[resume_at - S.status.slot].status.restarts_in_a_row = 0
         else:
-            step = MS[S.status.slot - restart_from]
-            step.status.restarts_in_a_row = S.status.restarts_in_a_row + 1 if S.status.restart else 0
+            successor = MS[S.status.slot - resume_at]
+            successor.status.restarts_in_a_row = (
+                S.status.restarts_in_a_row + 1 if S.status.restart else 0
+            )

@@ -25,7 +25,7 @@ class EstimateEmbeddedError(ConvergenceController):
             return EstimateEmbeddedErrorLinearized
         if flavor == 'collocation':
             return EstimateEmbeddedErrorCollocation
-        raise NotImplementedError(f'Flavor {flavor!r} of EstimateEmbeddedError is not implemented!')
+        raise NotImplementedError(f'no embedded-error flavor named {flavor!r}')
 
     def setup(self, controller, params, description, **kwargs):
         sweeper_type = 'RK' if RungeKutta in description['sweeper_class'].__mro__ else 'SDC'
@@ -69,10 +69,9 @@ class EstimateEmbeddedError(ConvergenceController):
             for L in S.levels:
                 if L.state is None or (L.uold is None and self.params.sweeper_type == 'SDC'):
                     continue
-                L.status.error_embedded_estimate = max(
-                    self.estimate_embedded_error_serial(L), np.finfo(float).eps
-                )
-                L.status.increment = L.status.error_embedded_estimate * 1
+                e = max(self.estimate_embedded_error_serial(L), np.finfo(float).eps)
+                L.status.error_embedded_estimate = e
+                L.status.increment = e
 
 
 class EstimateEmbeddedErrorLinearized(EstimateEmbeddedError):
@@ -98,21 +97,20 @@ class EstimateEmbeddedErrorLinearized(EstimateEmbeddedError):
     def post_iteration_processing(self, controller, S, **kwargs):
         if len(S.levels) > 1 and len(controller.MS) > 1:
             raise NotImplementedError(
-                'Embedded error estimate only works for serial multi-level or parallel single level'
+                'the linearized estimate supports either multiple levels or multiple steps, not both'
             )
         if S.status.iter > 0 or self.params.sweeper_type == 'RK':
-            averaging = float(S.status.slot + 1) if self.params.averaged else 1.0
-            temp = None
+            divisor = float(S.status.slot + 1) if self.params.averaged else 1.0
+            raw = None
             for L in S.levels:
                 if L.state is None or (L.uold is None and self.params.sweeper_type == 'SDC'):
                     continue
-                temp = self.estimate_embedded_error_serial(L)
-                L.status.error_embedded_estimate = max(
-                    abs(temp - self.buffers.e_em_last) / averaging, np.finfo(float).eps
-                )
-                L.status.increment = L.status.error_embedded_estimate * 1
-            if not self.params.averaged and temp is not None:
-                self.buffers.e_em_last = temp * 1.0
+                raw = self.estimate_embedded_error_serial(L)
+                e = max(abs(raw - self.buffers.e_em_last) / divisor, np.finfo(float).eps)
+                L.status.error_embedded_estimate = e
+                L.status.increment = e
+            if not self.params.averaged and raw is not None:
+                self.buffers.e_em_last = float(raw)
 
 
 class EstimateEmbeddedErrorCollocation(ConvergenceController):

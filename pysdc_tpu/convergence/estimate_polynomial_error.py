@@ -20,18 +20,21 @@ from pysdc_tpu.ops.lagrange import interpolation_matrix
 
 class EstimatePolynomialError(ConvergenceController):
     def setup(self, controller, params, description, **kwargs):
-        sweeper_params = description['sweeper_params']
-        num_nodes = sweeper_params['num_nodes']
-        quad_type = sweeper_params.get('quad_type', 'RADAU-RIGHT')
+        sw = description['sweeper_params']
+        M = sw['num_nodes']
+        quad = sw.get('quad_type', 'RADAU-RIGHT')
+        # For GAUSS the right end is not a node, so interpolating *to* it
+        # (index M+1) loses one order; otherwise leave out the second-to-last
+        # node instead.
         defaults = {
             'control_order': -75,
-            'estimate_on_node': num_nodes + 1 if quad_type == 'GAUSS' else num_nodes - 1,
+            'estimate_on_node': M + 1 if quad == 'GAUSS' else M - 1,
             'rel_error': False,
             **super().setup(controller, params, description, **kwargs),
         }
-        if quad_type != 'GAUSS' and defaults['estimate_on_node'] > num_nodes:
+        if quad != 'GAUSS' and defaults['estimate_on_node'] > M:
             raise ParameterError(
-                'You cannot interpolate with lower accuracy to the end point if the end point is a node!'
+                'when the right end is itself a node, a lower-order interpolation to it is meaningless'
             )
         from pysdc_tpu.hooks.logging_hooks import LogEmbeddedErrorEstimate
 
@@ -50,7 +53,7 @@ class EstimatePolynomialError(ConvergenceController):
             return
         L = S.levels[0]
         coll = L.sweep.coll
-        nodes = np.append(np.append(0, coll.nodes), 1.0)
+        nodes = np.concatenate(([0.0], coll.nodes, [1.0]))
         k = self.params.estimate_on_node
 
         if self.interpolation_matrix is None:

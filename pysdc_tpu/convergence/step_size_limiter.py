@@ -1,7 +1,10 @@
-"""Step size limiting/rounding policies.
+"""Step-size clamping, slope limiting, and rounding policies.
 
-Mirrors reference ``StepSizeLimiter`` / ``StepSizeSlopeLimiter`` /
-``StepSizeRounding`` (convergence_controller_classes/step_size_limiter.py).
+Behavioral counterparts of the reference's step-size guards
+(``convergence_controller_classes/step_size_limiter.py:5-159``): absolute
+bounds, per-step relative-change (slope) bounds, and rounding to coarse
+mantissa values.  Rounding is doubly useful on TPU: quantized dt values keep
+the jit cache warm when dt is a compile-time constant anywhere.
 """
 
 from __future__ import annotations
@@ -11,79 +14,92 @@ import numpy as np
 from pysdc_tpu.core.convergence import ConvergenceController
 
 
+def _pending_proposals(step):
+    """Yield each level that carries a freshly proposed step size."""
+    for lvl in step.levels:
+        if lvl.status.dt_new is not None:
+            yield lvl
+
+
 class StepSizeLimiter(ConvergenceController):
+    """Clamp proposed step sizes into [dt_min, dt_max].
+
+    Only adaptivity *proposals* pass through here — a user-supplied initial
+    dt outside the bounds is not touched, and end-of-interval shortening may
+    still undercut dt_min.
+    """
+
     def setup(self, controller, params, description, **kwargs):
-        defaults = {'control_order': +92, 'dt_min': 0, 'dt_max': np.inf}
-        return {**defaults, **super().setup(controller, params, description, **kwargs)}
+        mine = {'control_order': +92, 'dt_min': 0, 'dt_max': np.inf}
+        return {**mine, **super().setup(controller, params, description, **kwargs)}
 
     def dependencies(self, controller, description, **kwargs):
-        slope_keys = ['dt_slope_min', 'dt_slope_max', 'dt_rel_min_slope']
-        available = {k: getattr(self.params, k) for k in slope_keys if hasattr(self.params, k)}
-        if available:
-            available['control_order'] = self.params.control_order - 1
+        forwarded = {
+            key: getattr(self.params, key)
+            for key in ('dt_slope_min', 'dt_slope_max', 'dt_rel_min_slope')
+            if hasattr(self.params, key)
+        }
+        if forwarded:
+            forwarded['control_order'] = self.params.control_order - 1
             controller.add_convergence_controller(
-                StepSizeSlopeLimiter, params=available, description=description
+                StepSizeSlopeLimiter, params=forwarded, description=description
             )
 
     def get_new_step_size(self, controller, S, **kwargs):
-        for L in S.levels:
-            if L.status.dt_new is not None:
-                if L.status.dt_new < self.params.dt_min:
-                    self.log(
-                        f'Step size below minimum, increasing from {L.status.dt_new:.2e} to {self.params.dt_min:.2e}',
-                        S,
-                    )
-                    L.status.dt_new = self.params.dt_min
-                elif L.status.dt_new > self.params.dt_max:
-                    self.log(
-                        f'Step size exceeds maximum, decreasing from {L.status.dt_new:.2e} to {self.params.dt_max:.2e}',
-                        S,
-                    )
-                    L.status.dt_new = self.params.dt_max
+        lo, hi = self.params.dt_min, self.params.dt_max
+        for lvl in _pending_proposals(S):
+            clamped = min(max(lvl.status.dt_new, lo), hi)
+            if clamped != lvl.status.dt_new:
+                verb = 'raising' if clamped > lvl.status.dt_new else 'lowering'
+                self.log(f'dt proposal {lvl.status.dt_new:.2e} outside bounds, {verb} to {clamped:.2e}', S)
+                lvl.status.dt_new = clamped
 
 
 class StepSizeSlopeLimiter(ConvergenceController):
+    """Bound the relative change of dt between consecutive steps.
+
+    ``dt_slope_min``/``dt_slope_max`` cap the ratio dt_new/dt; a change
+    smaller than ``dt_rel_min_slope`` (relative) is discarded entirely so
+    near-constant step sizes stay exactly constant.
+    """
+
     def setup(self, controller, params, description, **kwargs):
-        defaults = {'control_order': 91, 'dt_slope_min': 0, 'dt_slope_max': np.inf, 'dt_rel_min_slope': 0}
-        return {**defaults, **super().setup(controller, params, description, **kwargs)}
+        mine = {'control_order': 91, 'dt_slope_min': 0, 'dt_slope_max': np.inf, 'dt_rel_min_slope': 0}
+        return {**mine, **super().setup(controller, params, description, **kwargs)}
 
     def get_new_step_size(self, controller, S, **kwargs):
-        for L in S.levels:
-            if L.status.dt_new is not None:
-                if L.status.dt_new / L.params.dt < self.params.dt_slope_min:
-                    L.status.dt_new = L.params.dt * self.params.dt_slope_min
-                elif L.status.dt_new / L.params.dt > self.params.dt_slope_max:
-                    L.status.dt_new = L.params.dt * self.params.dt_slope_max
-                if (
-                    abs(L.status.dt_new - L.params.dt) / L.params.dt < self.params.dt_rel_min_slope
-                    and not S.status.restart
-                ):
-                    L.status.dt_new = L.params.dt
+        for lvl in _pending_proposals(S):
+            here = lvl.params.dt
+            ratio = lvl.status.dt_new / here
+            if ratio < self.params.dt_slope_min:
+                lvl.status.dt_new = here * self.params.dt_slope_min
+            elif ratio > self.params.dt_slope_max:
+                lvl.status.dt_new = here * self.params.dt_slope_max
+            too_small_a_change = abs(lvl.status.dt_new - here) / here < self.params.dt_rel_min_slope
+            if too_small_a_change and not S.status.restart:
+                lvl.status.dt_new = here
 
 
 class StepSizeRounding(ConvergenceController):
-    """Round the step size to nicer values (keeps jit caches warm too)."""
+    """Snap dt proposals to a coarse grid of mantissa values.
+
+    Keeping ``digits`` significant digits and flooring the last one to a
+    multiple of ``fac`` yields human-friendly step sizes and a small set of
+    distinct dt values over a run.
+    """
 
     def setup(self, controller, params, description, **kwargs):
-        defaults = {'control_order': +93, 'digits': 1, 'fac': 5}
-        return {**defaults, **super().setup(controller, params, description, **kwargs)}
+        mine = {'control_order': +93, 'digits': 1, 'fac': 5}
+        return {**mine, **super().setup(controller, params, description, **kwargs)}
 
     @staticmethod
-    def _round_step_size(dt, fac, digits):
-        dt_rounded = None
-        exponent = np.log10(dt) // 1
-        dt_norm = dt / 10 ** (exponent - digits)
-        dt_norm_round = (dt_norm // fac) * fac
-        dt_rounded = dt_norm_round * 10 ** (exponent - digits)
-        return dt_rounded
+    def _quantize(dt, fac, digits):
+        scale = 10.0 ** (np.log10(dt) // 1 - digits)
+        return ((dt / scale) // fac) * fac * scale
 
     def get_new_step_size(self, controller, S, **kwargs):
-        for L in S.levels:
-            if L.status.dt_new is not None:
-                dt_rounded = self._round_step_size(L.status.dt_new, self.params.fac, self.params.digits)
-                if L.status.dt_new != dt_rounded:
-                    self.log(
-                        f'Step size rounded from {L.status.dt_new:.6e} to {dt_rounded:.6e}',
-                        S,
-                    )
-                    L.status.dt_new = dt_rounded
+        for lvl in _pending_proposals(S):
+            snapped = self._quantize(lvl.status.dt_new, self.params.fac, self.params.digits)
+            if snapped != lvl.status.dt_new:
+                self.log(f'dt proposal {lvl.status.dt_new:.6e} snapped to {snapped:.6e}', S)
+                lvl.status.dt_new = snapped

@@ -142,75 +142,75 @@ class DefaultHooks(Hooks):
 
     def post_sweep(self, step, level_number):
         super().post_sweep(step, level_number)
-        L = step.levels[level_number]
+        lvl = step.levels[level_number]
         self.logger.info(
             'Process %2i on time %8.6f at stage %15s: Level: %s -- Iteration: %2i -- Sweep: %2i -- residual: %12.8e',
             step.status.slot,
-            L.time,
+            lvl.time,
             step.status.stage,
-            L.level_index,
+            lvl.level_index,
             step.status.iter,
-            L.status.sweep,
-            float(L.status.residual) if L.status.residual is not None else float('nan'),
+            lvl.status.sweep,
+            float(lvl.status.residual) if lvl.status.residual is not None else float('nan'),
         )
         self.add_to_stats(
             process=step.status.slot,
-            process_sweeper=L.sweep.rank if hasattr(L.sweep, 'rank') else 0,
-            time=L.time,
-            level=L.level_index,
+            process_sweeper=lvl.sweep.rank if hasattr(lvl.sweep, 'rank') else 0,
+            time=lvl.time,
+            level=lvl.level_index,
             iter=step.status.iter,
-            sweep=L.status.sweep,
+            sweep=lvl.status.sweep,
             type='residual_post_sweep',
-            value=L.status.residual,
+            value=lvl.status.residual,
         )
 
     def post_iteration(self, step, level_number):
         super().post_iteration(step, level_number)
-        L = step.levels[level_number]
+        lvl = step.levels[level_number]
         self.add_to_stats(
             process=step.status.slot,
             process_sweeper=0,
-            time=L.time,
+            time=lvl.time,
             level=-1,
             iter=step.status.iter,
-            sweep=L.status.sweep,
+            sweep=lvl.status.sweep,
             type='residual_post_iteration',
-            value=L.status.residual,
+            value=lvl.status.residual,
         )
 
     def post_step(self, step, level_number):
         super().post_step(step, level_number)
-        L = step.levels[level_number]
+        lvl = step.levels[level_number]
         self.add_to_stats(
             process=step.status.slot,
             process_sweeper=0,
-            time=L.time,
-            level=L.level_index,
+            time=lvl.time,
+            level=lvl.level_index,
             iter=step.status.iter,
-            sweep=L.status.sweep,
+            sweep=lvl.status.sweep,
             type='niter',
             value=step.status.iter,
         )
         self.add_to_stats(
             process=step.status.slot,
             process_sweeper=0,
-            time=L.time,
-            level=L.level_index,
+            time=lvl.time,
+            level=lvl.level_index,
             iter=step.status.iter,
-            sweep=L.status.sweep,
+            sweep=lvl.status.sweep,
             type='residual_post_step',
-            value=L.status.residual,
+            value=lvl.status.residual,
         )
         # fine-level dt actually used for this step
         self.add_to_stats(
             process=step.status.slot,
             process_sweeper=0,
-            time=L.time,
-            level=L.level_index,
+            time=lvl.time,
+            level=lvl.level_index,
             iter=step.status.iter,
-            sweep=L.status.sweep,
+            sweep=lvl.status.sweep,
             type='dt',
-            value=L.dt,
+            value=lvl.dt,
         )
 
 
@@ -234,9 +234,9 @@ class CPUTimings(Hooks):
 
     def post_run(self, step, level_number):
         super().post_run(step, level_number)
-        L = step.levels[level_number]
+        lvl = step.levels[level_number]
         self.add_to_stats(
-            process=step.status.slot, time=L.time, level=-1, iter=-1, sweep=-1, type='timing_run', value=self._stop('run')
+            process=step.status.slot, time=lvl.time, level=-1, iter=-1, sweep=-1, type='timing_run', value=self._stop('run')
         )
 
     def pre_step(self, step, level_number):
@@ -245,13 +245,13 @@ class CPUTimings(Hooks):
 
     def post_step(self, step, level_number):
         super().post_step(step, level_number)
-        L = step.levels[level_number]
+        lvl = step.levels[level_number]
         self.add_to_stats(
             process=step.status.slot,
-            time=L.time,
+            time=lvl.time,
             level=level_number,
             iter=step.status.iter,
-            sweep=L.status.sweep,
+            sweep=lvl.status.sweep,
             type='timing_step',
             value=self._stop(('step', step.status.slot)),
         )
@@ -262,13 +262,13 @@ class CPUTimings(Hooks):
 
     def post_iteration(self, step, level_number):
         super().post_iteration(step, level_number)
-        L = step.levels[level_number]
+        lvl = step.levels[level_number]
         self.add_to_stats(
             process=step.status.slot,
-            time=L.time,
+            time=lvl.time,
             level=level_number,
             iter=step.status.iter,
-            sweep=L.status.sweep,
+            sweep=lvl.status.sweep,
             type='timing_iteration',
             value=self._stop(('iter', step.status.slot)),
         )
@@ -279,13 +279,13 @@ class CPUTimings(Hooks):
 
     def post_sweep(self, step, level_number):
         super().post_sweep(step, level_number)
-        L = step.levels[level_number]
+        lvl = step.levels[level_number]
         self.add_to_stats(
             process=step.status.slot,
-            time=L.time,
+            time=lvl.time,
             level=level_number,
             iter=step.status.iter,
-            sweep=L.status.sweep,
+            sweep=lvl.status.sweep,
             type='timing_sweep',
             value=self._stop(('sweep', step.status.slot, level_number)),
         )

@@ -18,14 +18,14 @@ from pysdc_tpu.core.state import norm_max
 
 
 def _entry_kwargs(step, level_number):
-    L = step.levels[level_number]
+    lvl = step.levels[level_number]
     return dict(
         process=step.status.slot,
-        process_sweeper=getattr(L.sweep, 'rank', 0),
-        time=L.time,
-        level=L.level_index,
+        process_sweeper=getattr(lvl.sweep, 'rank', 0),
+        time=lvl.time,
+        level=lvl.level_index,
         iter=step.status.iter,
-        sweep=L.status.sweep,
+        sweep=lvl.status.sweep,
     )
 
 
@@ -34,51 +34,51 @@ class LogSolution(Hooks):
 
     def post_step(self, step, level_number):
         super().post_step(step, level_number)
-        L = step.levels[level_number]
-        L.compute_end_point()
+        lvl = step.levels[level_number]
+        lvl.compute_end_point()
         kw = _entry_kwargs(step, level_number)
-        kw['time'] = L.time + L.dt
-        self.add_to_stats(value=np.asarray(L.uend), type='u', **kw)
+        kw['time'] = lvl.time + lvl.dt
+        self.add_to_stats(value=np.asarray(lvl.uend), type='u', **kw)
 
 
 class LogSolutionAfterIteration(Hooks):
     def post_iteration(self, step, level_number):
         super().post_iteration(step, level_number)
-        L = step.levels[level_number]
-        L.compute_end_point()
+        lvl = step.levels[level_number]
+        lvl.compute_end_point()
         kw = _entry_kwargs(step, level_number)
-        kw['time'] = L.time + L.dt
-        self.add_to_stats(value=np.asarray(L.uend), type='u', **kw)
+        kw['time'] = lvl.time + lvl.dt
+        self.add_to_stats(value=np.asarray(lvl.uend), type='u', **kw)
 
 
 class LogError(Hooks):
     """Base with global/local error computation (reference log_errors.py:5)."""
 
     def log_global_error(self, step, level_number, suffix=''):
-        L = step.levels[level_number]
-        L.compute_end_point()
+        lvl = step.levels[level_number]
+        lvl.compute_end_point()
         try:
-            u_ref = L.prob.u_exact(L.time + L.dt)
+            u_ref = lvl.prob.u_exact(lvl.time + lvl.dt)
         except NotImplementedError:
             return
-        e = float(norm_max(L.uend - u_ref))
+        e = float(norm_max(lvl.uend - u_ref))
         kw = _entry_kwargs(step, level_number)
-        kw['time'] = L.time + L.dt
+        kw['time'] = lvl.time + lvl.dt
         self.add_to_stats(value=e, type=f'e_global{suffix}', **kw)
         denom = float(norm_max(u_ref))
         if denom > 0:
             self.add_to_stats(value=e / denom, type=f'e_global_rel{suffix}', **kw)
 
     def log_local_error(self, step, level_number, suffix=''):
-        L = step.levels[level_number]
-        L.compute_end_point()
+        lvl = step.levels[level_number]
+        lvl.compute_end_point()
         try:
-            u_loc = L.prob.u_exact(L.time + L.dt, u_init=L.u[0], t_init=L.time)
+            u_loc = lvl.prob.u_exact(lvl.time + lvl.dt, u_init=lvl.u[0], t_init=lvl.time)
         except (NotImplementedError, TypeError):
             return
-        e = float(norm_max(L.uend - u_loc))
+        e = float(norm_max(lvl.uend - u_loc))
         kw = _entry_kwargs(step, level_number)
-        kw['time'] = L.time + L.dt
+        kw['time'] = lvl.time + lvl.dt
         self.add_to_stats(value=e, type=f'e_local{suffix}', **kw)
 
 
@@ -110,8 +110,8 @@ class LogEmbeddedErrorEstimate(Hooks):
     """Log the embedded error estimate after each iteration/step."""
 
     def log_error(self, step, level_number, appendix=''):
-        L = step.levels[level_number]
-        est = getattr(L.status, 'error_embedded_estimate', None)
+        lvl = step.levels[level_number]
+        est = getattr(lvl.status, 'error_embedded_estimate', None)
         if est is not None:
             self.add_to_stats(
                 value=est, type=f'error_embedded_estimate{appendix}', **_entry_kwargs(step, level_number)
@@ -135,17 +135,17 @@ class LogWork(Hooks):
 
     def pre_step(self, step, level_number):
         super().pre_step(step, level_number)
-        L = step.levels[level_number]
+        lvl = step.levels[level_number]
         self.__work_last_step[level_number] = {
-            key: counter.niter for key, counter in L.prob.work_counters.items()
+            key: counter.niter for key, counter in lvl.prob.work_counters.items()
         }
 
     def post_step(self, step, level_number):
         super().post_step(step, level_number)
-        L = step.levels[level_number]
+        lvl = step.levels[level_number]
         kw = _entry_kwargs(step, level_number)
-        kw['time'] = L.time + L.dt
-        for key, counter in L.prob.work_counters.items():
+        kw['time'] = lvl.time + lvl.dt
+        for key, counter in lvl.prob.work_counters.items():
             self.add_to_stats(
                 value=counter.niter - self.__work_last_step[level_number].get(key, 0),
                 type=f'work_{key}',
@@ -160,23 +160,23 @@ class LogSDCIterations(Hooks):
 
     def post_step(self, step, level_number):
         super().post_step(step, level_number)
-        L = step.levels[level_number]
+        lvl = step.levels[level_number]
         kw = _entry_kwargs(step, level_number)
-        kw['time'] = L.time + L.dt
+        kw['time'] = lvl.time + lvl.dt
         self.increment_stats(value=step.status.iter, type=self.name, **kw)
 
 
 class LogStepSize(Hooks):
     def post_step(self, step, level_number):
         super().post_step(step, level_number)
-        L = step.levels[level_number]
-        self.add_to_stats(value=L.dt, type='dt', **_entry_kwargs(step, level_number))
+        lvl = step.levels[level_number]
+        self.add_to_stats(value=lvl.dt, type='dt', **_entry_kwargs(step, level_number))
 
 
 class LogRestarts(Hooks):
     def post_step(self, step, level_number):
         super().post_step(step, level_number)
-        L = step.levels[level_number]
+        lvl = step.levels[level_number]
         self.add_to_stats(
             value=int(getattr(step.status, 'restart', False)),
             type='restart',
@@ -191,8 +191,8 @@ class LogExtrapolationErrorEstimate(Hooks):
 
     def post_step(self, step, level_number):
         super().post_step(step, level_number)
-        L = step.levels[level_number]
-        est = getattr(L.status, 'error_extrapolation_estimate', None)
+        lvl = step.levels[level_number]
+        est = getattr(lvl.status, 'error_extrapolation_estimate', None)
         if est is not None:
             self.add_to_stats(
                 value=est, type='error_extrapolation_estimate', **_entry_kwargs(step, level_number)
@@ -209,26 +209,26 @@ class LogToPickleFile(Hooks):
     file_name = 'solution'
 
     @staticmethod
-    def logging_condition(L):
+    def logging_condition(lvl):
         return True
 
     @classmethod
-    def process_solution(cls, L):
-        return {'t': float(L.time + L.dt), 'u': np.asarray(L.uend)}
+    def process_solution(cls, lvl):
+        return {'t': float(lvl.time + lvl.dt), 'u': np.asarray(lvl.uend)}
 
     def post_step(self, step, level_number):
         super().post_step(step, level_number)
         import os
         import pickle
 
-        L = step.levels[level_number]
-        if not type(self).logging_condition(L):
+        lvl = step.levels[level_number]
+        if not type(self).logging_condition(lvl):
             return
-        L.compute_end_point()
+        lvl.compute_end_point()
         path = type(self).path or '.'
         os.makedirs(path, exist_ok=True)
-        data = type(self).process_solution(L)
-        with open(os.path.join(path, f'{type(self).file_name}_{L.time + L.dt:.8f}.pickle'), 'wb') as fh:
+        data = type(self).process_solution(lvl)
+        with open(os.path.join(path, f'{type(self).file_name}_{lvl.time + lvl.dt:.8f}.pickle'), 'wb') as fh:
             pickle.dump(data, fh)
 
 
@@ -255,19 +255,19 @@ class PlotPostStep(Hooks):
         matplotlib.use('Agg', force=False)
         import matplotlib.pyplot as plt
 
-        L = step.levels[level_number]
-        L.compute_end_point()
-        prob = L.prob
+        lvl = step.levels[level_number]
+        lvl.compute_end_point()
+        prob = lvl.prob
         if hasattr(prob, 'plot'):
-            fig = prob.plot(L.uend, t=L.time + L.dt)
+            fig = prob.plot(lvl.uend, t=lvl.time + lvl.dt)
         else:
             fig, ax = plt.subplots()
-            u = np.asarray(L.uend)
+            u = np.asarray(lvl.uend)
             if u.ndim >= 2:
                 ax.imshow(u.reshape(u.shape[-2], u.shape[-1]) if u.ndim > 2 else u)
             else:
                 ax.plot(u)
-            ax.set_title(f't = {L.time + L.dt:.4f}')
+            ax.set_title(f't = {lvl.time + lvl.dt:.4f}')
         if type(self).save_plot is not None:
             fig = fig if fig is not None else plt.gcf()
             fig.savefig(f'{type(self).save_plot}_{self.__counter:06d}.png', dpi=100)

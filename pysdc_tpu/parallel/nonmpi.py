@@ -1,25 +1,27 @@
 """Virtual-parallel PFASST/MLSDC/SDC/MSSDC controller.
 
-Faithful TPU-side counterpart of the reference ``controller_nonMPI``
-(``implementations/controller_classes/controller_nonMPI.py:12-689``): a block
-of ``num_procs`` virtual time steps advances through the stage machine
+Host-side orchestration of a *block* of ``num_procs`` virtual time steps that
+march in lockstep through the PFASST stage machine
 
     SPREAD -> [PREDICT] -> IT_CHECK -> {IT_FINE | IT_DOWN -> IT_COARSE ->
     IT_UP} -> IT_CHECK -> ... -> DONE
 
-in lockstep; "communication" copies ``uend`` of a step into ``u[0]`` of its
-successor.  This controller is the equivalence oracle for the sharded
-(device-mesh) time-parallel controller: both must produce identical
-iteration counts (the reference pins the same invariant in
-tests/test_tutorials/test_step_6.py:26-42).
-
+"Communication" between neighbouring steps is a stamped handoff of ``uend``
+into the successor's ``u[0]``.  Behaviorally equivalent to the reference's
+single-process controller (``controller_nonMPI.py:12-689``) — it serves as
+the iteration-count oracle for the sharded device-mesh controller, the same
+invariant the reference pins in ``tests/test_tutorials/test_step_6.py:26-42``.
 All numerics (sweeps, residuals, transfers) are jit-compiled device kernels;
-this class is pure host orchestration.
+nothing numerical happens in this file.
+
+Beyond the reference: the FMG predictor is actually implemented here (the
+reference leaves it as a commented sketch + NotImplementedError,
+``controller_nonMPI.py:463-477``).
 """
 
 from __future__ import annotations
 
-import itertools
+from contextlib import contextmanager
 
 import numpy as np
 
@@ -29,396 +31,406 @@ from pysdc_tpu.core.step import Step
 from pysdc_tpu.parallel.controller import Controller
 
 
-def _tend_eps(Tend):
-    """End-of-interval guard: the reference uses 10*eps absolute
-    (controller_nonMPI.py:112), which accumulated dt-rounding drift exceeds
-    after ~40 steps; a relative component keeps "t == Tend up to drift" from
-    scheduling a spurious extra step while staying far below any real dt."""
+def _horizon_slack(Tend):
+    """Tolerance for "t has reached Tend".
+
+    Absolute 10*eps (as the reference uses) is overtaken by accumulated
+    dt-rounding drift after a few dozen steps; blending in a relative term
+    keeps drift from scheduling a phantom extra step while staying orders of
+    magnitude below any usable dt.
+    """
     return max(10 * np.finfo(float).eps, 1e-12 * abs(Tend))
 
 
 class ControllerNonMPI(Controller):
+    """Block-synchronous virtual time-parallel controller."""
+
     def __init__(self, num_procs: int, controller_params: dict, description: dict):
         if 'predict' in controller_params:
-            raise ControllerError('predict flag is ignored, use predict_type instead')
+            raise ControllerError("the boolean 'predict' option was retired; select a predict_type")
         super().__init__(controller_params, description, useMPI=False)
 
         self.MS = [Step(description) for _ in range(num_procs)]
 
         self.base_convergence_controllers = self.base_convergence_controllers + [BasicRestarting]
-        for cls in [BasicRestarting]:
-            self.add_convergence_controller(cls, description)
+        self.add_convergence_controller(BasicRestarting, description)
 
         if self.params.dump_setup:
             self.dump_setup(self.MS[0], controller_params, description)
 
-        num_levels = len(self.MS[0].levels)
-        if num_procs > 1 and num_levels > 1:
-            for S in self.MS:
-                for L in S.levels:
-                    if not L.sweep.coll.right_is_node:
-                        raise ControllerError('For PFASST to work, we assume uend^k = u_M^k')
+        self._validate_block(num_procs)
 
-        if num_levels == 0:
-            raise ControllerError('need at least one level')
-        self.nlevels = num_levels
+        for policy in self.ordered_convergence_controllers():
+            policy.reset_buffers_nonMPI(self)
+            policy.setup_status_variables(self, MS=self.MS)
 
-        self.nsweeps = [self.MS[0].levels[lvl].params.nsweeps for lvl in range(num_levels)]
-        if self.nlevels > 1 and self.nsweeps[-1] > 1:
-            raise ControllerError('this controller cannot do multiple sweeps on coarsest level')
+    def _validate_block(self, num_procs):
+        depth = len(self.MS[0].levels)
+        if depth == 0:
+            raise ControllerError('a step needs at least one level')
+        self.nlevels = depth
+        self.nsweeps = [lvl.params.nsweeps for lvl in self.MS[0].levels]
 
-        for C in self.ordered_convergence_controllers():
-            C.reset_buffers_nonMPI(self)
-            C.setup_status_variables(self, MS=self.MS)
+        if num_procs > 1 and depth > 1:
+            bad = any(
+                not lvl.sweep.coll.right_is_node for step in self.MS for lvl in step.levels
+            )
+            if bad:
+                raise ControllerError(
+                    'PFASST requires collocation rules whose final node sits at the '
+                    'right interval end (uend == u_M)'
+                )
+        if depth > 1 and self.nsweeps[-1] > 1:
+            raise ControllerError('multiple coarsest-level sweeps are not supported here')
 
+    # -- small orchestration helpers -------------------------------------
     def all_steps(self):
         return self.MS
 
-    # ------------------------------------------------------------------
+    def _fire(self, point, step, lvl, **kw):
+        """Broadcast one hook point to every registered hook."""
+        for hook in self.hooks:
+            getattr(hook, point)(step=step, level_number=lvl, **kw)
+
+    def _policies(self):
+        return self.ordered_convergence_controllers()
+
+    @contextmanager
+    def _comm_scope(self, step, lvl, record=False):
+        """Bracket a virtual exchange with pre/post comm hooks."""
+        self._fire('pre_comm', step, lvl)
+        yield
+        self._fire('post_comm', step, lvl, add_to_stats=record)
+
+    # -- virtual point-to-point ------------------------------------------
+    def _push_boundary(self, step, lvl, record=False):
+        """Finalize uend on ``lvl`` and stamp it for the successor.
+
+        Behavioral twin of the reference's one-sided send
+        (controller_nonMPI.py:226-257).
+        """
+        with self._comm_scope(step, lvl, record):
+            if not step.status.last:
+                out = step.levels[lvl]
+                out.compute_end_point()
+                out.tag = (lvl, step.status.iter, step.status.slot)
+
+    def _pull_boundary(self, step, lvl, record=False):
+        """Adopt the predecessor's uend as u[0], re-evaluating f[0].
+
+        Stamp mismatches indicate a stage-machine bug and raise
+        (reference controller_nonMPI.py:259-295).
+        """
+        with self._comm_scope(step, lvl, record):
+            if step.status.first or step.status.prev_done:
+                return
+            upstream = step.prev.levels[lvl]
+            want = (lvl, step.status.iter, step.prev.status.slot)
+            if upstream.tag != want:
+                raise CommunicationError(
+                    f'stale boundary stamp: found {upstream.tag}, expected {want}'
+                )
+            step.levels[lvl].set_u0(upstream.uend)
+
+    # -- block lifecycle ---------------------------------------------------
     def run(self, u0, t0, Tend):
-        """Main driver (reference controller_nonMPI.py:85-178)."""
-        uend = None
-        num_procs = len(self.MS)
+        """March blocks of steps from t0 to Tend; returns (uend, stats)."""
         for hook in self.hooks:
             hook.reset_stats()
 
-        slots = list(range(num_procs))
-        time = [t0 + sum(self.MS[j].dt for j in range(p)) for p in slots]
-        active = [time[p] < Tend - _tend_eps(Tend) for p in slots]
-        if not any(active):
-            raise ControllerError('Nothing to do, check t0, dt and Tend.')
-        active_slots = list(itertools.compress(slots, active))
+        nsteps = len(self.MS)
+        slack = _horizon_slack(Tend)
+        starts = np.cumsum([t0] + [s.dt for s in self.MS[:-1]]).tolist()
+        window = [p for p in range(nsteps) if starts[p] < Tend - slack]
+        if not window:
+            raise ControllerError('empty schedule — verify t0, dt and Tend')
 
-        self.restart_block(active_slots, time, u0)
+        self._seed_block(window, starts, u0)
 
-        for hook in self.hooks:
-            hook.post_setup(step=None, level_number=None)
-        for S in self.MS:
-            for hook in self.hooks:
-                hook.pre_run(step=S, level_number=0)
+        self._fire('post_setup', None, None)
+        for step in self.MS:
+            self._fire('pre_run', step, 0)
 
-        while any(active):
-            MS_active = [self.MS[p] for p in active_slots]
-            done = False
-            while not done:
-                done = self.pfasst(MS_active)
+        uend = None
+        while window:
+            block = [self.MS[p] for p in window]
+            while not self._advance(block):
+                pass
 
-            restarts = [S.status.restart for S in MS_active]
-            restart_at = np.where(restarts)[0][0] if True in restarts else len(MS_active)
-            if True in restarts:
-                uend = self.MS[restart_at].levels[0].u[0]
-                time[active_slots[0]] = time[restart_at]
-                self.logger.info(f'Starting next block with initial conditions from step {restart_at}')
+            flagged = [s.status.restart for s in block]
+            cut = flagged.index(True) if any(flagged) else len(block)
+            if cut < len(block):
+                uend = self.MS[cut].levels[0].u[0]
+                starts[window[0]] = starts[cut]
+                self.logger.info(f'Block restart: resuming from the state of step {cut}')
             else:
-                uend = self.MS[active_slots[-1]].levels[0].uend
-                time[active_slots[0]] = time[active_slots[-1]] + self.MS[active_slots[-1]].dt
+                tail = self.MS[window[-1]]
+                uend = tail.levels[0].uend
+                starts[window[0]] = starts[window[-1]] + tail.dt
 
-            for S in MS_active[:restart_at]:
-                for C in self.ordered_convergence_controllers():
-                    C.post_step_processing(self, S, MS=MS_active)
+            for step in block[:cut]:
+                for policy in self._policies():
+                    policy.post_step_processing(self, step, MS=block)
 
-            for C in self.ordered_convergence_controllers():
-                [C.prepare_next_block(self, S, len(active_slots), time, Tend, MS=MS_active) for S in self.MS]
+            for policy in self._policies():
+                for step in self.MS:
+                    policy.prepare_next_block(self, step, len(window), starts, Tend, MS=block)
 
-            for i in range(1, len(active_slots)):
-                time[active_slots[i]] = time[active_slots[i] - 1] + self.MS[active_slots[i] - 1].dt
+            for i in range(1, len(window)):
+                starts[window[i]] = starts[window[i] - 1] + self.MS[window[i] - 1].dt
 
-            active = [time[p] < Tend - _tend_eps(Tend) for p in slots]
-            active_slots = list(itertools.compress(slots, active))
+            window = [p for p in range(nsteps) if starts[p] < Tend - slack]
+            self._seed_block(window, starts, uend)
 
-            self.restart_block(active_slots, time, uend)
-
-        for S in self.MS:
-            for hook in self.hooks:
-                hook.post_run(step=S, level_number=0)
-        for S in self.MS:
-            for C in self.ordered_convergence_controllers():
-                C.post_run_processing(self, S, MS=MS_active)
+        for step in self.MS:
+            self._fire('post_run', step, 0)
+        for step in self.MS:
+            for policy in self._policies():
+                policy.post_run_processing(self, step, MS=block)
 
         return uend, self.return_stats()
 
-    # ------------------------------------------------------------------
-    def restart_block(self, active_slots, time, u0):
-        """Reset/restart a block of active steps (reference :180-224)."""
-        for j, p in enumerate(active_slots):
-            self.MS[p].status.slot = p
-            self.MS[p].prev = self.MS[active_slots[j - 1]]
-            self.MS[p].reset_step()
-            self.MS[p].status.first = active_slots.index(p) == 0
-            self.MS[p].status.last = active_slots.index(p) == len(active_slots) - 1
-            self.MS[p].init_step(u0)
-            self.MS[p].status.done = False
-            self.MS[p].status.prev_done = False
-            self.MS[p].status.iter = 0
-            self.MS[p].status.stage = 'SPREAD'
-            self.MS[p].status.force_done = False
-            self.MS[p].status.time_size = len(active_slots)
-            for l in self.MS[p].levels:
-                l.tag = None
-                l.status.sweep = 1
+    def _seed_block(self, window, starts, u0):
+        """(Re)initialize the active steps for the next block of work."""
+        for j, p in enumerate(window):
+            step = self.MS[p]
+            step.status.slot = p
+            step.prev = self.MS[window[j - 1]]
+            step.reset_step()
+            step.status.first = j == 0
+            step.status.last = j == len(window) - 1
+            step.init_step(u0)
+            step.status.done = False
+            step.status.prev_done = False
+            step.status.iter = 0
+            step.status.stage = 'SPREAD'
+            step.status.force_done = False
+            step.status.time_size = len(window)
+            for lvl in step.levels:
+                lvl.tag = None
+                lvl.status.sweep = 1
+                lvl.status.time = starts[p]
 
-        for p in active_slots:
-            for lvl in self.MS[p].levels:
-                lvl.status.time = time[p]
+        for policy in self._policies():
+            policy.reset_status_variables(self, active_slots=window)
 
-        for C in self.ordered_convergence_controllers():
-            C.reset_status_variables(self, active_slots=active_slots)
+    # -- stage machine ------------------------------------------------------
+    def _advance(self, block):
+        """Run one lockstep stage over the block; True once every step is done."""
+        pending = [s for s in block if s.status.stage != 'DONE']
+        labels = {s.status.stage for s in pending}
+        if len(labels) > 1:
+            raise ControllerError(f'block lost lockstep, stages diverged: {sorted(labels)}')
 
-    # -- "communication" ------------------------------------------------
-    def send_full(self, S, level=None, add_to_stats=False):
-        """Compute uend and tag it — one-sided send (reference :226-257)."""
-        for hook in self.hooks:
-            hook.pre_comm(step=S, level_number=level)
-        if not S.status.last:
-            src = S.levels[level]
-            src.compute_end_point()
-            src.tag = (level, S.status.iter, S.status.slot)
-        for hook in self.hooks:
-            hook.post_comm(step=S, level_number=level, add_to_stats=add_to_stats)
-
-    def recv_full(self, S, level=None, add_to_stats=False):
-        """Copy predecessor uend into u[0], re-evaluate f[0] (reference :259-295)."""
-        for hook in self.hooks:
-            hook.pre_comm(step=S, level_number=level)
-        if not S.status.prev_done and not S.status.first:
-            target = S.levels[level]
-            source = S.prev.levels[level]
-            expected = (level, S.status.iter, S.prev.status.slot)
-            if source.tag != expected:
-                raise CommunicationError(
-                    f'source and target tag are not the same, got {source.tag} and {expected}'
-                )
-            target.set_u0(source.uend)
-        for hook in self.hooks:
-            hook.post_comm(step=S, level_number=level, add_to_stats=add_to_stats)
-
-    # -- stage machine ---------------------------------------------------
-    def pfasst(self, local_MS_active):
-        """Dispatch one stage for the whole block (reference :297-332)."""
-        stages = [S.status.stage for S in local_MS_active if S.status.stage != 'DONE']
-        if stages and stages[1:] != stages[:-1]:
-            raise ControllerError('not all stages are equal')
-
-        if stages:
-            stage = stages[0]
-            MS_running = [S for S in local_MS_active if S.status.stage != 'DONE']
-            switcher = {
-                'SPREAD': self.spread,
-                'PREDICT': self.predict,
-                'IT_CHECK': self.it_check,
-                'IT_FINE': self.it_fine,
-                'IT_DOWN': self.it_down,
-                'IT_COARSE': self.it_coarse,
-                'IT_UP': self.it_up,
+        if pending:
+            handlers = {
+                'SPREAD': self._spread,
+                'PREDICT': self._predict,
+                'IT_CHECK': self._check,
+                'IT_FINE': self._fine_sweeps,
+                'IT_DOWN': self._restrict_cascade,
+                'IT_COARSE': self._coarse_chain,
+                'IT_UP': self._prolong_cascade,
             }
-            if stage not in switcher:
-                raise ControllerError(f'Unknown stage, got {stage}')
-            switcher[stage](MS_running)
+            label = labels.pop()
+            handler = handlers.get(label)
+            if handler is None:
+                raise ControllerError(f'stage machine has no handler for {label!r}')
+            handler(pending)
 
-        return all(S.status.done for S in local_MS_active)
+        return all(s.status.done for s in block)
 
-    def spread(self, local_MS_running):
-        """SPREAD stage (reference :334-357)."""
-        for S in local_MS_running:
-            for hook in self.hooks:
-                hook.pre_step(step=S, level_number=0)
+    def _sweep_once(self, step, lvl, stage):
+        """One preconditioned sweep + residual, bracketed by sweep hooks."""
+        self._fire('pre_sweep', step, lvl)
+        step.levels[lvl].update_nodes()
+        step.levels[lvl].compute_residual(stage=stage)
+        self._fire('post_sweep', step, lvl)
 
-            S.levels[0].predict(S.u0)
+    def _spread(self, running):
+        for step in running:
+            self._fire('pre_step', step, 0)
+            step.levels[0].predict(step.u0)
+            step.status.stage = 'PREDICT' if len(step.levels) > 1 else 'IT_CHECK'
+            for policy in self._policies():
+                policy.post_spread_processing(self, step, MS=running)
 
-            if len(S.levels) > 1:
-                S.status.stage = 'PREDICT'
-            else:
-                S.status.stage = 'IT_CHECK'
+    def _predict(self, running):
+        for step in running:
+            self._fire('pre_predict', step, 0)
 
-            for C in self.ordered_convergence_controllers():
-                C.post_spread_processing(self, S, MS=local_MS_running)
-
-    def predict(self, local_MS_running):
-        """PREDICT stage (reference :359-477)."""
-        for S in local_MS_running:
-            for hook in self.hooks:
-                hook.pre_predict(step=S, level_number=0)
-
-        if self.params.predict_type is None:
+        kind = self.params.predict_type
+        if kind is None:
             pass
-        elif self.params.predict_type == 'fine_only':
-            for S in local_MS_running:
-                S.levels[0].update_nodes()
-        elif self.params.predict_type == 'pfasst_burnin':
-            for S in local_MS_running:
-                for l in range(1, len(S.levels)):
-                    S.transfer(source=S.levels[l - 1], target=S.levels[l])
-
-            for q in range(len(local_MS_running)):
-                # staggered coarse sweeps: [q..], then receive on [q+1..]
-                for p in range(q, len(local_MS_running)):
-                    S = local_MS_running[p]
-                    S.levels[-1].update_nodes()
-                    self.send_full(S, level=len(S.levels) - 1)
-                for p in range(q + 1, len(local_MS_running)):
-                    S = local_MS_running[p]
-                    self.recv_full(
-                        S, level=len(S.levels) - 1, add_to_stats=(p == len(local_MS_running) - 1)
-                    )
-
-            for S in local_MS_running:
-                for l in range(len(S.levels) - 1, 0, -1):
-                    S.transfer(source=S.levels[l], target=S.levels[l - 1])
-                self.send_full(S, level=0)
-                self.recv_full(S, level=0)
-
-            for S in local_MS_running:
-                S.levels[0].update_nodes()
-        elif self.params.predict_type == 'fmg':
-            raise NotImplementedError('FMG predictor is not yet implemented')
+        elif kind == 'fine_only':
+            for step in running:
+                step.levels[0].update_nodes()
+        elif kind == 'pfasst_burnin':
+            self._burnin(running)
+        elif kind == 'fmg':
+            self._full_multigrid(running)
         else:
-            raise ControllerError(f'Wrong predictor type, got {self.params.predict_type}')
+            raise ControllerError(f'unrecognized predict_type {kind!r}')
 
-        for S in local_MS_running:
-            for hook in self.hooks:
-                hook.post_predict(step=S, level_number=0)
-        for S in local_MS_running:
-            S.status.stage = 'IT_CHECK'
+        for step in running:
+            self._fire('post_predict', step, 0)
+            step.status.stage = 'IT_CHECK'
 
-    def it_check(self, local_MS_running):
-        """Convergence check + stage routing (reference :479-543)."""
-        for S in local_MS_running:
-            self.send_full(S, level=0)
-            self.recv_full(S, level=0)
-            S.levels[0].compute_residual(stage='IT_CHECK')
+    def _burnin(self, running):
+        """PFASST burn-in: staggered coarse sweeps building up the pipeline."""
+        coarse = self.nlevels - 1
+        for step in running:
+            for l in range(1, self.nlevels):
+                step.transfer(source=step.levels[l - 1], target=step.levels[l])
 
-        for S in local_MS_running:
-            if S.status.iter > 0:
-                for hook in self.hooks:
-                    hook.post_iteration(step=S, level_number=0)
-            for C in self.ordered_convergence_controllers():
-                C.post_iteration_processing(self, S, MS=local_MS_running)
-                C.convergence_control(self, S, MS=local_MS_running)
+        # Wavefront: round q sweeps steps q..end on the coarsest level, then
+        # steps q+1..end absorb what their predecessor just produced.
+        for q in range(len(running)):
+            for step in running[q:]:
+                step.levels[coarse].update_nodes()
+                self._push_boundary(step, coarse)
+            for j, step in enumerate(running[q + 1 :], start=q + 1):
+                self._pull_boundary(step, coarse, record=(j == len(running) - 1))
 
-        for S in local_MS_running:
-            if not S.status.first:
-                for hook in self.hooks:
-                    hook.pre_comm(step=S, level_number=0)
-                S.status.prev_done = S.prev.status.done  # "communicate"
-                for hook in self.hooks:
-                    hook.post_comm(step=S, level_number=0, add_to_stats=True)
-                S.status.done = S.status.done and S.status.prev_done
+        for step in running:
+            for l in range(self.nlevels - 1, 0, -1):
+                step.transfer(source=step.levels[l], target=step.levels[l - 1])
+            self._push_boundary(step, 0)
+            self._pull_boundary(step, 0)
+
+        for step in running:
+            step.levels[0].update_nodes()
+
+    def _full_multigrid(self, running):
+        """FMG predictor: serialized coarse chain, then sweep on every level
+        of the way back up.  Implements what the reference only sketches
+        (controller_nonMPI.py:380-423, commented out there).
+        """
+        for step in running:
+            for l in range(1, self.nlevels):
+                step.transfer(source=step.levels[l - 1], target=step.levels[l])
+
+        coarse = self.nlevels - 1
+        for step in running:
+            self._pull_boundary(step, coarse)
+            step.levels[coarse].update_nodes()
+            self._push_boundary(step, coarse)
+
+        for l in range(self.nlevels - 1, 0, -1):
+            for step in running:
+                step.transfer(source=step.levels[l], target=step.levels[l - 1])
+                if l - 1 > 0:
+                    step.levels[l - 1].update_nodes()
+
+        for step in running:
+            self._push_boundary(step, 0)
+            self._pull_boundary(step, 0)
+            step.levels[0].update_nodes()
+
+    def _check(self, running):
+        """Convergence assessment and routing to the next stage."""
+        for step in running:
+            self._push_boundary(step, 0)
+            self._pull_boundary(step, 0)
+            step.levels[0].compute_residual(stage='IT_CHECK')
+
+        for step in running:
+            if step.status.iter > 0:
+                self._fire('post_iteration', step, 0)
+            for policy in self._policies():
+                policy.post_iteration_processing(self, step, MS=running)
+                policy.convergence_control(self, step, MS=running)
+
+        for step in running:
+            if not step.status.first:
+                with self._comm_scope(step, 0, record=True):
+                    step.status.prev_done = step.prev.status.done
+                step.status.done = step.status.done and step.status.prev_done
 
             if self.params.all_to_done:
-                for hook in self.hooks:
-                    hook.pre_comm(step=S, level_number=0)
-                S.status.done = all(T.status.done for T in local_MS_running)
-                for hook in self.hooks:
-                    hook.post_comm(step=S, level_number=0, add_to_stats=True)
+                with self._comm_scope(step, 0, record=True):
+                    step.status.done = all(s.status.done for s in running)
 
-            if not S.status.done:
-                S.status.iter += 1
-                for hook in self.hooks:
-                    hook.pre_iteration(step=S, level_number=0)
-                for C in self.ordered_convergence_controllers():
-                    C.pre_iteration_processing(self, S, MS=local_MS_running)
+            if step.status.done:
+                step.levels[0].compute_end_point()
+                self._fire('post_step', step, 0)
+                step.status.stage = 'DONE'
+                continue
 
-                if len(S.levels) > 1:
-                    S.status.stage = 'IT_DOWN'
-                else:
-                    if len(local_MS_running) == 1 or self.params.mssdc_jac:
-                        S.status.stage = 'IT_FINE'
-                    else:
-                        S.status.stage = 'IT_COARSE'  # serial MSSDC (Gauss-like)
+            step.status.iter += 1
+            self._fire('pre_iteration', step, 0)
+            for policy in self._policies():
+                policy.pre_iteration_processing(self, step, MS=running)
+
+            if len(step.levels) > 1:
+                step.status.stage = 'IT_DOWN'
+            elif len(running) == 1 or self.params.mssdc_jac:
+                step.status.stage = 'IT_FINE'
             else:
-                S.levels[0].compute_end_point()
-                for hook in self.hooks:
-                    hook.post_step(step=S, level_number=0)
-                S.status.stage = 'DONE'
+                # single-level multi-step SDC, Gauss-Seidel flavor
+                step.status.stage = 'IT_COARSE'
 
-        for C in self.ordered_convergence_controllers():
-            C.reset_buffers_nonMPI(self)
+        for policy in self._policies():
+            policy.reset_buffers_nonMPI(self)
 
-    def it_fine(self, local_MS_running):
-        """Fine sweeps (reference :545-580)."""
-        for S in local_MS_running:
-            S.levels[0].status.sweep = 0
+    def _fine_sweeps(self, running):
+        for step in running:
+            step.levels[0].status.sweep = 0
 
+        final = self.nsweeps[0] - 1
         for k in range(self.nsweeps[0]):
-            for S in local_MS_running:
-                S.levels[0].status.sweep += 1
+            for step in running:
+                step.levels[0].status.sweep += 1
+            for step in running:
+                self._push_boundary(step, 0)
+                self._pull_boundary(step, 0, record=(k == final))
+            for step in running:
+                self._sweep_once(step, 0, 'IT_FINE')
 
-            for S in local_MS_running:
-                self.send_full(S, level=0)
-                self.recv_full(S, level=0, add_to_stats=(k == self.nsweeps[0] - 1))
+        for step in running:
+            step.status.stage = 'IT_CHECK'
 
-            for S in local_MS_running:
-                for hook in self.hooks:
-                    hook.pre_sweep(step=S, level_number=0)
-                S.levels[0].update_nodes()
-                S.levels[0].compute_residual(stage='IT_FINE')
-                for hook in self.hooks:
-                    hook.post_sweep(step=S, level_number=0)
-
-        for S in local_MS_running:
-            S.status.stage = 'IT_CHECK'
-
-    def it_down(self, local_MS_running):
-        """Restrict down the hierarchy with middle-level sweeps (reference :582-617)."""
-        for S in local_MS_running:
-            S.transfer(source=S.levels[0], target=S.levels[1])
+    def _restrict_cascade(self, running):
+        """Walk down the hierarchy, sweeping on each intermediate level."""
+        for step in running:
+            step.transfer(source=step.levels[0], target=step.levels[1])
 
         for l in range(1, self.nlevels - 1):
             for _ in range(self.nsweeps[l]):
-                for S in local_MS_running:
-                    self.send_full(S, level=l)
-                    self.recv_full(S, level=l)
-                for S in local_MS_running:
-                    for hook in self.hooks:
-                        hook.pre_sweep(step=S, level_number=l)
-                    S.levels[l].update_nodes()
-                    S.levels[l].compute_residual(stage='IT_DOWN')
-                    for hook in self.hooks:
-                        hook.post_sweep(step=S, level_number=l)
+                for step in running:
+                    self._push_boundary(step, l)
+                    self._pull_boundary(step, l)
+                for step in running:
+                    self._sweep_once(step, l, 'IT_DOWN')
+            for step in running:
+                step.transfer(source=step.levels[l], target=step.levels[l + 1])
 
-            for S in local_MS_running:
-                S.transfer(source=S.levels[l], target=S.levels[l + 1])
+        for step in running:
+            step.status.stage = 'IT_COARSE'
 
-        for S in local_MS_running:
-            S.status.stage = 'IT_COARSE'
+    def _coarse_chain(self, running):
+        """Serialized coarsest-level solve: pull, sweep, hand forward."""
+        coarse = self.nlevels - 1
+        for step in running:
+            self._pull_boundary(step, coarse)
+            self._sweep_once(step, coarse, 'IT_COARSE')
+            self._push_boundary(step, coarse, record=True)
+            step.status.stage = 'IT_UP' if self.nlevels > 1 else 'IT_CHECK'
 
-    def it_coarse(self, local_MS_running):
-        """Serialized coarse sweep chain (reference :619-646)."""
-        for S in local_MS_running:
-            self.recv_full(S, level=len(S.levels) - 1)
-
-            for hook in self.hooks:
-                hook.pre_sweep(step=S, level_number=len(S.levels) - 1)
-            S.levels[-1].update_nodes()
-            S.levels[-1].compute_residual(stage='IT_COARSE')
-            for hook in self.hooks:
-                hook.post_sweep(step=S, level_number=len(S.levels) - 1)
-
-            self.send_full(S, level=len(S.levels) - 1, add_to_stats=True)
-
-            if len(S.levels) > 1:
-                S.status.stage = 'IT_UP'
-            else:
-                S.status.stage = 'IT_CHECK'
-
-    def it_up(self, local_MS_running):
-        """Prolong corrections up to the finest level (reference :648-680)."""
+    def _prolong_cascade(self, running):
+        """Walk back up, correcting and sweeping on each intermediate level."""
         for l in range(self.nlevels - 1, 0, -1):
-            for S in local_MS_running:
-                S.transfer(source=S.levels[l], target=S.levels[l - 1])
+            for step in running:
+                step.transfer(source=step.levels[l], target=step.levels[l - 1])
 
             if l - 1 > 0:
+                final = self.nsweeps[l - 1] - 1
                 for k in range(self.nsweeps[l - 1]):
-                    for S in local_MS_running:
-                        self.send_full(S, level=l - 1)
-                        self.recv_full(S, level=l - 1, add_to_stats=(k == self.nsweeps[l - 1] - 1))
-                    for S in local_MS_running:
-                        for hook in self.hooks:
-                            hook.pre_sweep(step=S, level_number=l - 1)
-                        S.levels[l - 1].update_nodes()
-                        S.levels[l - 1].compute_residual(stage='IT_UP')
-                        for hook in self.hooks:
-                            hook.post_sweep(step=S, level_number=l - 1)
+                    for step in running:
+                        self._push_boundary(step, l - 1)
+                        self._pull_boundary(step, l - 1, record=(k == final))
+                    for step in running:
+                        self._sweep_once(step, l - 1, 'IT_UP')
 
-        for S in local_MS_running:
-            S.status.stage = 'IT_FINE'
+        for step in running:
+            step.status.stage = 'IT_FINE'

@@ -28,44 +28,38 @@ class ButcherTableau:
 
     def __init__(self, weights, nodes, matrix):
         self.check_method(weights, nodes, matrix)
-        self.tleft = 0.0
-        self.tright = 1.0
-        self.num_nodes = matrix.shape[0]
+        stages = matrix.shape[0]
+        self.tleft, self.tright = 0.0, 1.0
+        self.num_nodes = stages
         self.weights = np.asarray(weights, dtype=float)
 
-        self.nodes = np.append([0], nodes).astype(float)
-        self.Qmat = np.zeros([self.num_nodes + 1, self.num_nodes + 1])
-        self.Qmat[1:, 1:] = matrix
+        # node 0 is the interval start, as in the collocation convention
+        self.nodes = np.concatenate(([0.0], np.asarray(nodes, dtype=float)))
+        Q = np.zeros((stages + 1, stages + 1))
+        Q[1:, 1:] = matrix
+        self.Qmat = Q
 
         self.left_is_node = True
         self.right_is_node = self.nodes[-1] == self.tright
-        self.node_type = 'BUTCHER'
-        self.quad_type = 'BUTCHER'
+        self.node_type = self.quad_type = 'BUTCHER'
 
-        if self.num_nodes > 1:
-            self.delta_m = self.nodes[1:] - self.nodes[:-1]
-        else:
-            self.delta_m = np.zeros(1)
+        self.delta_m = np.diff(self.nodes) if stages > 1 else np.array([0.0])
         self.delta_m[0] = self.nodes[1] - self.tleft
 
-        self.implicit = any(matrix[i, i] != 0 for i in range(self.num_nodes))
+        self.implicit = bool(np.diagonal(matrix).any())
 
     def check_method(self, weights, nodes, matrix):
-        if not isinstance(matrix, np.ndarray):
-            raise ParameterError('Runge-Kutta matrix needs to be supplied as a numpy array!')
-        if len(np.unique(matrix.shape)) != 1 or len(matrix.shape) != 2:
-            raise ParameterError('Runge-Kutta matrix needs to be a square 2D numpy array!')
-        if not isinstance(nodes, np.ndarray):
-            raise ParameterError('Nodes need to be supplied as a numpy array!')
-        if len(nodes.shape) != 1 or len(nodes) != matrix.shape[0]:
-            raise ParameterError(f'Incompatible nodes for {matrix.shape[0]}-stage method')
+        if not (isinstance(matrix, np.ndarray) and matrix.ndim == 2 and matrix.shape[0] == matrix.shape[1]):
+            raise ParameterError('a Butcher matrix must be a square 2D numpy array')
+        if not (isinstance(nodes, np.ndarray) and nodes.ndim == 1 and nodes.size == matrix.shape[0]):
+            raise ParameterError(f'a {matrix.shape[0]}-stage tableau needs {matrix.shape[0]} abscissae as a 1D array')
         if np.any(np.triu(matrix, k=1) != 0):
             raise ParameterError('only lower-triangular (DIRK-type) tableaus are supported')
         self.check_weights(weights, nodes, matrix)
 
     def check_weights(self, weights, nodes, matrix):
-        if not isinstance(weights, np.ndarray) or len(weights.shape) != 1 or len(weights) != matrix.shape[0]:
-            raise ParameterError(f'Incompatible weights for {matrix.shape[0]}-stage method')
+        if not (isinstance(weights, np.ndarray) and weights.ndim == 1 and weights.size == matrix.shape[0]):
+            raise ParameterError(f'a {matrix.shape[0]}-stage tableau needs {matrix.shape[0]} weights as a 1D array')
 
     @property
     def q(self):
@@ -80,8 +74,8 @@ class ButcherTableauEmbedded(ButcherTableau):
     """weights has two rows: [main, embedded] (reference Runge_Kutta.py:78)."""
 
     def check_weights(self, weights, nodes, matrix):
-        if not isinstance(weights, np.ndarray) or len(weights.shape) != 2 or weights.shape[1] != matrix.shape[0]:
-            raise ParameterError(f'Embedded weights need shape (2, {matrix.shape[0]})')
+        if not (isinstance(weights, np.ndarray) and weights.shape == (2, matrix.shape[0])):
+            raise ParameterError(f'an embedded pair needs a (2, {matrix.shape[0]}) weight array')
 
     @property
     def globally_stiffly_accurate(self):

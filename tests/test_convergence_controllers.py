@@ -97,8 +97,8 @@ def test_step_size_limiter_enforced():
 
 
 def test_step_size_rounding():
-    assert StepSizeRounding._round_step_size(0.0123, 5, 1) == pytest.approx(0.010)
-    assert StepSizeRounding._round_step_size(0.0173, 5, 1) == pytest.approx(0.015)
+    assert StepSizeRounding._quantize(0.0123, 5, 1) == pytest.approx(0.010)
+    assert StepSizeRounding._quantize(0.0173, 5, 1) == pytest.approx(0.015)
 
 
 def test_stop_at_nan():
