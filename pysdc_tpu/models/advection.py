@@ -30,6 +30,7 @@ class AdvectionND(Problem):
         lintol=1e-12,
         liniter=10000,
         solver_type='direct',
+        backend='eigen',
         dtype=None,
     ):
         nvars = (nvars,) if isinstance(nvars, int) else tuple(nvars)
@@ -37,16 +38,19 @@ class AdvectionND(Problem):
         super().__init__(shape=nvars, dtype=dtype)
 
         dx, xvals = get_1d_grid(nvars[0], 'periodic')
-        self.A = SeparableFDOperator(
-            [
-                dict(size=n, dx=dx, derivative=1, order=order, stencil_type=stencil_type, bc='periodic')
-                for n in nvars
-            ],
-            scale=-c,
-        )
+        per_dim = [
+            dict(size=n, dx=dx, derivative=1, order=order, stencil_type=stencil_type, bc='periodic')
+            for n in nvars
+        ]
+        if backend == 'sparse':
+            from pysdc_tpu.ops.sparse_op import SparseFDOperator
+
+            self.A = SparseFDOperator(per_dim, scale=-c)
+        else:
+            self.A = SeparableFDOperator(per_dim, scale=-c)
         self._register(
             nvars=nvars, c=c, freq=freq, order=order, stencil_type=stencil_type,
-            lintol=lintol, liniter=liniter, solver_type=solver_type, dx=dx,
+            lintol=lintol, liniter=liniter, solver_type=solver_type, dx=dx, backend=backend,
         )
         self.xvals = xvals
         self.work_counters['rhs'] = WorkCounter()
@@ -65,7 +69,9 @@ class AdvectionND(Problem):
     @property
     def diagonalizable_operator(self):
         """Linear autonomous f = A@u: fused diagonal-basis multi-sweeps apply
-        (ops/diag_sdc.py); direct solver only, see HeatND."""
+        (ops/diag_sdc.py); direct eigen solver only, see HeatND."""
+        if self.backend != 'eigen':
+            return None
         return self.A if self.solver_type == 'direct' else None
 
     def eval_f(self, u, t):

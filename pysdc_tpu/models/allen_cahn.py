@@ -123,19 +123,25 @@ class AllenCahnPeriodicND(Problem):
     """
 
     def __init__(self, nvars=(128, 128), eps=0.04, radius=0.25, newton_maxiter=100,
-                 newton_tol=1e-12, interval=(-0.5, 0.5), dtype=None):
+                 newton_tol=1e-12, interval=(-0.5, 0.5), backend='eigen', dtype=None):
         nvars = (nvars,) if isinstance(nvars, int) else tuple(nvars)
         super().__init__(shape=nvars, dtype=dtype)
         L = interval[1] - interval[0]
         dx = L / nvars[0]
         self._register(
             nvars=nvars, eps=eps, radius=radius, newton_maxiter=newton_maxiter,
-            newton_tol=newton_tol, interval=interval, dx=dx,
+            newton_tol=newton_tol, interval=interval, dx=dx, backend=backend,
         )
         self.xvalues = np.array([interval[0] + i * dx for i in range(nvars[0])])
-        self.A = SeparableFDOperator(
-            [dict(size=n, dx=dx, derivative=2, order=2, bc='periodic') for n in nvars]
-        )
+        per_dim = [dict(size=n, dx=dx, derivative=2, order=2, bc='periodic') for n in nvars]
+        if backend == 'sparse':
+            # BASELINE config 3: assembled 5-point stencil, ELL/BSR SpMV;
+            # periodic 1D solves use cyclic Thomas, ND periodic fall to CG
+            from pysdc_tpu.ops.sparse_op import SparseFDOperator
+
+            self.A = SparseFDOperator(per_dim)
+        else:
+            self.A = SeparableFDOperator(per_dim)
         self.work_counters['newton'] = WorkCounter()
         self.work_counters['rhs'] = WorkCounter()
 

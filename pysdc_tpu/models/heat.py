@@ -33,6 +33,7 @@ class HeatND(Problem):
         solver_type='direct',
         bc='periodic',
         sigma=6e-2,
+        backend='eigen',
         dtype=None,
     ):
         nvars = (nvars,) if isinstance(nvars, int) else tuple(nvars)
@@ -42,16 +43,21 @@ class HeatND(Problem):
         super().__init__(shape=nvars, dtype=dtype)
 
         dx, xvals = get_1d_grid(nvars[0], bc)
-        self.A = SeparableFDOperator(
-            [
-                dict(size=n, dx=dx, derivative=2, order=order, stencil_type=stencil_type, bc=bc)
-                for n in nvars
-            ],
-            scale=nu,
-        )
+        per_dim = [
+            dict(size=n, dx=dx, derivative=2, order=order, stencil_type=stencil_type, bc=bc)
+            for n in nvars
+        ]
+        if backend == 'sparse':
+            # north-star path: assembled CSR + structured factorization
+            from pysdc_tpu.ops.sparse_op import SparseFDOperator
+
+            self.A = SparseFDOperator(per_dim, scale=nu)
+        else:
+            self.A = SeparableFDOperator(per_dim, scale=nu)
         self._register(
             nvars=nvars, nu=nu, freq=freq, order=order, stencil_type=stencil_type,
             lintol=lintol, liniter=liniter, solver_type=solver_type, bc=bc, sigma=sigma, dx=dx,
+            backend=backend,
         )
         self.xvals = xvals
         self.work_counters['rhs'] = WorkCounter()
@@ -66,8 +72,10 @@ class HeatND(Problem):
     def diagonalizable_operator(self):
         """eval_f is exactly A@u and solves are exact diagonal-basis solves,
         so multi-sweep SDC may run fused in the basis (ops/diag_sdc.py).
-        Only for the direct solver (iterative paths must match the reference's
-        solver_type semantics, work counters included)."""
+        Only for the direct eigen solver (iterative paths must match the
+        reference's solver_type semantics, work counters included)."""
+        if self.backend != 'eigen':
+            return None
         return self.A if self.solver_type == 'direct' else None
 
     @property
@@ -126,8 +134,10 @@ class HeatNDForced(HeatND):
     diagonalizable_operator = None
 
     def __init__(self, nvars=512, nu=0.1, freq=2, stencil_type='center', order=2,
-                 lintol=1e-12, liniter=10000, solver_type='direct', bc='periodic', dtype=None):
-        super().__init__(nvars, nu, freq, stencil_type, order, lintol, liniter, solver_type, bc, dtype=dtype)
+                 lintol=1e-12, liniter=10000, solver_type='direct', bc='periodic',
+                 backend='eigen', dtype=None):
+        super().__init__(nvars, nu, freq, stencil_type, order, lintol, liniter, solver_type, bc,
+                         backend=backend, dtype=dtype)
 
     def _forcing(self, t):
         k2 = sum(f**2 for f in self.freq)
