@@ -113,8 +113,23 @@ class SeparableFDOperator:
         self.all_periodic = all(d['kind'] == 'circulant' for d in self._dims)
         # real-symbol all-periodic operators get a cheaper rfft solve path
         self._rfft_ok = self.all_periodic and not np.iscomplexobj(lam_nd)
-        if self._rfft_ok:
+        if self.all_periodic and not np.iscomplexobj(lam_nd):
             self._lam_rfft = lam_nd[..., : self.shape[-1] // 2 + 1]
+
+    def disable_rfft(self):
+        """Route solves through the full complex-FFT path.
+
+        Public escape hatch for an XLA bug: the fft thunk fails a layout
+        RET_CHECK when an rfft/irfft operand is GSPMD-sharded on the
+        host-emulated CPU mesh (observed with
+        --xla_force_host_platform_device_count).  Sharded controllers call
+        this instead of reaching into private state; the full-FFT path is
+        mathematically identical, just ~2x the spectral traffic."""
+        self._rfft_ok = False
+
+    def enable_rfft(self):
+        """Re-enable the half-spectrum path when the operator supports it."""
+        self._rfft_ok = self.all_periodic and hasattr(self, '_lam_rfft')
 
     # ------------------------------------------------------------------
     def apply(self, u):

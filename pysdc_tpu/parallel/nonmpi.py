@@ -329,11 +329,21 @@ class ControllerNonMPI(Controller):
 
     def _check(self, running):
         """Convergence assessment and routing to the next stage."""
+        self._measure_at_check(running)
+        self._route_after_check(running)
+
+    def _measure_at_check(self, running):
+        """Refresh boundaries and residuals entering IT_CHECK.  (Overridden
+        by the sharded controller with batched device kernels.)"""
         for step in running:
             self._push_boundary(step, 0)
             self._pull_boundary(step, 0)
             step.levels[0].compute_residual(stage='IT_CHECK')
 
+    def _route_after_check(self, running):
+        """Hook + convergence-policy sequence of IT_CHECK — shared verbatim
+        by the virtual and sharded controllers (the semantics the reference
+        runs on both its controllers, controller_MPI.py:403-460)."""
         for step in running:
             if step.status.iter > 0:
                 self._fire('post_iteration', step, 0)

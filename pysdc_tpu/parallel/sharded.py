@@ -1,19 +1,17 @@
 """Sharded time-parallel PFASST controller (the real thing).
 
 TPU-native replacement for the reference's MPI PFASST controller
-(``implementations/controller_classes/controller_MPI.py:10-807``).  Instead of
-one MPI rank per time step with Issend/Irecv pipelines, the whole block of
+(``implementations/controller_classes/controller_MPI.py:10-807``).  Instead
+of one MPI rank per time step with Issend/Irecv pipelines, the whole block of
 ``num_procs`` time steps lives in single global-view arrays with a leading
-time axis sharded over the ``time`` axis of a ``jax.sharding.Mesh``.  The
-stage machine runs on the host exactly like the virtual controller; every
-stage is one jitted batched kernel:
+time axis sharded over the ``time`` axis of a ``jax.sharding.Mesh``:
 
   - "send/recv" of ``uend -> u0``  = an axis-0 shift; XLA lowers it to a
     collective-permute over ICI (replacing Issend/Irecv with tags,
     controller_MPI.py:235-306).
   - sweeps/residuals/transfers     = vmapped over the time axis.
   - the serialized coarse chain    = ``lax.scan`` over the time axis on a
-    *replication-constrained* coarse state: every chip redundantly computes
+    replication-constrained coarse state: every chip redundantly computes
     the whole Gauss-Seidel chain (one all-gather) — on TPU this beats
     ping-ponging P tiny sweeps across chips and is bit-identical in math.
   - convergence flags              = one tiny device->host sync per
@@ -21,8 +19,23 @@ stage is one jitted batched kernel:
     (controller_MPI.py:307-322); SPMD cannot early-exit per rank, so
     converged steps are frozen by where-masks instead.
 
-Iteration counts match the virtual controller step for step (the invariant
-the reference pins in tests/test_tutorials/test_step_6.py:26-42).
+The *policy* layer is not reimplemented: :class:`ShardedController` derives
+from the virtual controller and inherits its block driver, all 15 hook
+points, and the full ordered convergence-controller stack — exactly as the
+reference's MPI controller runs the identical hook/CC machinery as its
+virtual twin (controller_MPI.py:403-460, core/convergence_controller.py:144+).
+Only the stage handlers are overridden: each one launches the batched device
+kernels and then refreshes per-step *shadow views* (sliced pytrees) on the
+``Step``/``Level`` objects that hooks and policies read.
+
+Iteration counts, adaptive step sizes, restarts, and the stats dictionary
+match the virtual controller entry for entry (the invariant the reference
+pins in tests/test_tutorials/test_step_6.py:26-42; gated in
+tests/test_sharded.py).
+
+Known limitation: per-step problem-attribute overrides (e.g.
+``NewtonInexactness`` writing ``prob.newton_tol``) steer the shadow levels
+but not the batched kernels, which trace the template problem's values.
 """
 
 from __future__ import annotations
@@ -34,8 +47,7 @@ from jax.sharding import NamedSharding, PartitionSpec
 
 from pysdc_tpu.core.errors import ControllerError
 from pysdc_tpu.core.state import LevelState
-from pysdc_tpu.core.step import Step
-from pysdc_tpu.parallel.controller import Controller
+from pysdc_tpu.parallel.nonmpi import ControllerNonMPI
 
 
 def _where_mask(mask, new, old):
@@ -160,6 +172,12 @@ class _BlockLevel:
         self.shift_recv = jax.jit(shift_recv)
         self.coarse_chain = jax.jit(coarse_chain, static_argnums=(6,))
 
+    def reset(self):
+        self.state = None
+        self.uend = jnp.zeros((self.P,) + self.level.prob.shape, self.level.prob.dtype)
+        self.uold = None
+        self.fold = None
+
 
 class _BlockTransfer:
     """Batched FAS transfer between two block levels (vmapped BaseTransfer)."""
@@ -183,352 +201,311 @@ class _BlockTransfer:
         self.prolong = jax.jit(prolong)
 
 
-class ShardedController(Controller):
-    """Block PFASST over a device mesh.  Supports SDC/MLSDC/PFASST with the
-    CheckConvergence policy (restol/maxiter, Gauss-Seidel ``prev_done``
-    forwarding or ``all_to_done``); adaptivity/restart policies are handled
-    by the virtual controller for now.
-    """
+class ShardedController(ControllerNonMPI):
+    """Block PFASST over a device mesh, with the complete hook and
+    convergence-controller stack of the virtual controller."""
 
     def __init__(self, num_procs: int, controller_params: dict, description: dict, mesh=None):
-        super().__init__(controller_params, description, useMPI=False)
-        self.num_procs = num_procs
         self.mesh = mesh
+        super().__init__(num_procs, controller_params, description)
 
-        # one template Step provides levels, transfers, and parameters
-        self.template = Step(description)
-        self.nlevels = len(self.template.levels)
-        self.nsweeps = [lvl.params.nsweeps for lvl in self.template.levels]
-        if self.nlevels > 1 and self.nsweeps[-1] > 1:
-            raise ControllerError('this controller cannot do multiple sweeps on coarsest level')
-        if num_procs > 1 and self.nlevels > 1:
-            for L in self.template.levels:
-                if not L.sweep.coll.right_is_node:
-                    raise ControllerError('For PFASST to work, we assume uend^k = u_M^k')
-
-        # the rfft solve path hits an XLA fft-thunk layout RET_CHECK when the
-        # operand is GSPMD-sharded (host-emulated meshes); use the plain
-        # complex-FFT path for sharded runs
+        # Route shifted solves through the full complex-FFT path when
+        # sharded: XLA's fft thunk hits a layout RET_CHECK on GSPMD-sharded
+        # rfft operands of host-emulated meshes (see
+        # SeparableFDOperator.disable_rfft).
         if mesh is not None:
             from pysdc_tpu.ops.linop import SeparableFDOperator
 
-            for lvl in self.template.levels:
-                for attr in vars(lvl.prob).values():
-                    if isinstance(attr, SeparableFDOperator):
-                        attr._rfft_ok = False
+            for S in self.MS:
+                for lvl in S.levels:
+                    for attr in vars(lvl.prob).values():
+                        if isinstance(attr, SeparableFDOperator):
+                            attr.disable_rfft()
 
-        self.blocks = [_BlockLevel(lvl, num_procs, mesh) for lvl in self.template.levels]
+        # one compile serves all shadow steps: share the template step's
+        # jitted level kernels (shapes and configs are identical; mutable
+        # problem scalars enter as runtime arguments, so per-step values
+        # still apply)
+        shared = ('_predict_fn', '_update_fn', '_residual_fn', '_endpoint_fn',
+                  '_integrate_fn', '_eval_f0')
+        for S in self.MS[1:]:
+            for L, L0 in zip(S.levels, self.MS[0].levels):
+                for name in shared:
+                    if hasattr(L0, name):
+                        setattr(L, name, getattr(L0, name))
+                if hasattr(L0, '_endpoint_embedded_fn'):
+                    L._endpoint_embedded_fn = L0._endpoint_embedded_fn
+
+        template = self.MS[0]
+        self.num_procs = num_procs
+        self.blocks = [_BlockLevel(lvl, num_procs, mesh) for lvl in template.levels]
         self.transfers = [
             _BlockTransfer(bt, self.blocks[i], self.blocks[i + 1])
-            for i, bt in enumerate(self.template.base_transfers)
+            for i, bt in enumerate(template.base_transfers)
         ]
-        self.maxiter = self.template.params.maxiter
-        self._setup_block_policies(description)
 
-    def _setup_block_policies(self, description):
-        """Adaptivity + restart policy on the sharded path (reference
-        controller_MPI runs Adaptivity/BasicRestartingMPI/
-        SpreadStepSizesBlockwiseMPI per rank; here the same math runs as a
-        host-side block policy with identical semantics — embedded error at
-        IT_CHECK, dt_new = beta*dt*(e_tol/e)^(1/maxiter), restart cascade in
-        slot order, blockwise dt spreading from the first restarted step)."""
-        from pysdc_tpu.convergence.adaptivity import Adaptivity
-        from pysdc_tpu.convergence.basic_restarting import BasicRestarting
+    @property
+    def template(self):
+        return self.MS[0]
 
-        self.adaptivity = None
-        self.max_restarts = 10
-        self.crash_after_max_restarts = True
-        self._limiter = {}
-        for cls, params in (description.get('convergence_controllers') or {}).items():
-            if isinstance(cls, type) and issubclass(cls, Adaptivity):
-                if self.template.levels[0].params.restol >= 0:
-                    raise ControllerError('Adaptivity needs restol < 0 (constant order in time)')
-                self.adaptivity = {
-                    'e_tol': params['e_tol'],
-                    'beta': params.get('beta', 0.9),
-                    'flavor': params.get('embedded_error_flavor', 'standard'),
-                }
-                for k in ('dt_min', 'dt_max', 'dt_slope_min', 'dt_slope_max'):
-                    if k in params:
-                        self._limiter[k] = params[k]
-            if isinstance(cls, type) and issubclass(cls, BasicRestarting):
-                self.max_restarts = params.get('max_restarts', 10)
-                self.crash_after_max_restarts = params.get('crash_after_max_restarts', True)
+    # -- helpers ----------------------------------------------------------
+    def _mask_of(self, steps):
+        m = np.zeros(self.num_procs, bool)
+        for s in steps:
+            m[s.status.slot] = True
+        return jnp.asarray(m)
 
-    def _limit_dt(self, dt_new, dt_old):
-        """StepSizeLimiter semantics (step_size_limiter.py:5-155)."""
-        if 'dt_slope_max' in self._limiter:
-            dt_new = min(dt_new, self._limiter['dt_slope_max'] * dt_old)
-        if 'dt_slope_min' in self._limiter:
-            dt_new = max(dt_new, self._limiter['dt_slope_min'] * dt_old)
-        if 'dt_max' in self._limiter:
-            dt_new = min(dt_new, self._limiter['dt_max'])
-        if 'dt_min' in self._limiter:
-            dt_new = max(dt_new, self._limiter['dt_min'])
-        return dt_new
+    def _recv_mask_of(self, running):
+        m = np.zeros(self.num_procs, bool)
+        for s in running:
+            m[s.status.slot] = (not s.status.first) and (not s.status.prev_done)
+        return jnp.asarray(m)
 
-    def all_steps(self):
-        return [self.template]
+    def _block_times(self):
+        return jnp.asarray([
+            s.levels[0].status.time if s.levels[0].status.time is not None else 0.0
+            for s in self.MS
+        ])
 
-    # ------------------------------------------------------------------
-    def run(self, u0, t0, Tend):
-        """Block time loop.  Returns (uend, stats) like the reference.
-        With Adaptivity configured, each block may be restarted with a
-        smaller dt and the accepted dt is spread to the next block
-        (reference basic_restarting.py / spread_step_sizes.py semantics)."""
-        from pysdc_tpu.core.errors import ConvergenceError
-        from pysdc_tpu.core.hooks import Entry
+    def _block_dt(self, running):
+        dts = {float(s.levels[0].params.dt) for s in running}
+        if len(dts) != 1:
+            raise ControllerError(
+                f'sharded block kernels need one dt per block, got {sorted(dts)} '
+                '(SpreadStepSizesBlockwise keeps blocks uniform — is a policy '
+                'assigning per-step step sizes?)'
+            )
+        return dts.pop()
 
-        P = self.num_procs
-        dt = self.template.levels[0].params.dt
-        dt_initial = dt
-        stats = {}
+    def _sync_level(self, running, lvl_idx):
+        """Refresh shadow views: each step's Level points at its slice of the
+        block state, so hooks and convergence policies read live data."""
+        blk = self.blocks[lvl_idx]
+        for step in running:
+            j = step.status.slot
+            L = step.levels[lvl_idx]
+            L.state = jax.tree_util.tree_map(lambda a: a[j], blk.state)
+            if blk.uend is not None:
+                L.uend = blk.uend[j]
+            L.status.unlocked = True
 
-        t_block = float(t0)
-        uend = jnp.asarray(u0)
-        eps = max(10 * np.finfo(float).eps, 1e-12 * abs(Tend))
-
-        restarts_in_a_row = 0
-        num_restarts_at = {}  # time -> restart count (stats Entry field)
-
-        while t_block < Tend - eps:
-            n_active = min(P, max(1, int(np.ceil((Tend - t_block - eps) / dt))))
-            t_arr = t_block + dt * np.arange(P)
-            active_time = np.arange(P) < n_active
-
-            iters, res_hist, e_est = self._run_block(uend, jnp.asarray(t_arr), dt, active_time)
-
-            # -- adaptivity: dt_new + restart decision per step ------------
-            restart = np.zeros(P, bool)
-            dt_new = np.full(P, np.nan)
-            if self.adaptivity is not None:
-                e_tol, beta = self.adaptivity['e_tol'], self.adaptivity['beta']
-                if self.adaptivity['flavor'] == 'linearized':
-                    # linearize the semi-global block estimate by subtracting
-                    # the previous step's raw estimate (reference
-                    # estimate_embedded_error.py:154-229)
-                    raw = e_est.copy()
-                    prev = np.concatenate([[0.0], raw[:-1]])
-                    e_est = np.maximum(np.abs(raw - prev), np.finfo(float).eps)
-                for j in range(n_active):
-                    dt_new[j] = self._limit_dt(
-                        beta * dt * (e_tol / e_est[j]) ** (1.0 / max(iters[j], 1)), dt
-                    )
-                    restart[j] = e_est[j] >= e_tol
-                # restart cascade in slot order (basic_restarting.py:54-67)
-                for j in range(1, n_active):
-                    restart[j] = restart[j] or restart[j - 1]
-                if restart.any() and restarts_in_a_row >= self.max_restarts:
-                    if self.crash_after_max_restarts:
-                        raise ConvergenceError(
-                            f'Restarted {restarts_in_a_row} time(s) already, surrendering now.'
-                        )
-                    restart[:] = False
-
-            restart_at = int(np.where(restart)[0][0]) if restart.any() else n_active
-
-            # -- stats ------------------------------------------------------
-            for j in range(n_active):
-                tj = float(t_arr[j])
-                nr = num_restarts_at.get(tj, 0)
-                key = dict(process=j, process_sweeper=0, time=tj, level=0, sweep=1, num_restarts=nr)
-                stats[Entry(iter=iters[j], type='niter', **key)] = iters[j]
-                stats[Entry(iter=iters[j], type='dt', **key)] = dt
-                stats[Entry(iter=iters[j], type='restart', **key)] = int(restart[j])
-                if self.adaptivity is not None:
-                    stats[Entry(iter=iters[j], type='error_embedded_estimate', **key)] = float(e_est[j])
-                for it, r in enumerate(res_hist):
-                    if not np.isnan(r[j]):
-                        stats[Entry(iter=it + 1, type='residual_post_iteration', **key)] = float(r[j])
-
-            # -- prepare next block (spread_step_sizes.py semantics) --------
-            if self.adaptivity is not None:
-                ra = min(restart_at, n_active - 1)
-                spread_from = ra
-                dt_all_ra = dt if ra > 0 else 0.0
-                dt_max_reach = (Tend - float(t_arr[ra]) - dt_all_ra) / n_active
-                proposed = dt_new[spread_from] if not np.isnan(dt_new[spread_from]) else dt
-                dt_next = min(proposed, max(dt_max_reach, dt_initial))
+    def _set_residuals(self, running, lvl_idx, stage, norms):
+        """Mirror Level.compute_residual's stage-skip semantics per step."""
+        norms = np.asarray(norms)
+        for step in running:
+            L = step.levels[lvl_idx]
+            if stage in L.sweep.skip_residual_computation:
+                if L.status.residual is None:
+                    L.status.residual = 0.0
             else:
-                dt_next = dt
+                L.status.residual = float(norms[step.status.slot])
+                L.status.updated = False
 
-            if restart.any():
-                for j in range(restart_at, n_active):
-                    tj = float(t_arr[j])
-                    num_restarts_at[tj] = num_restarts_at.get(tj, 0) + 1
-                restarts_in_a_row += 1
-                uend = (
-                    self._block_states.u[restart_at, 0]
-                    if restart_at > 0
-                    else uend
-                )
-                t_block = float(t_arr[restart_at])
-            else:
-                restarts_in_a_row = 0
-                uend = self._block_uend[n_active - 1]
-                t_block = float(t_arr[n_active - 1]) + dt
-            dt = dt_next
+    def _comm_hooks(self, steps, lvl, record=False):
+        """Fire the pre/post comm hook pair for each step (the batched shift
+        is the actual transport)."""
+        for step in steps:
+            with self._comm_scope(step, lvl, record):
+                pass
 
-        return uend, stats
+    def _exchange(self, running, lvl_idx, record=False):
+        """Batched uend -> u0 pipeline exchange on one level + comm hooks."""
+        blk = self.blocks[lvl_idx]
+        t_arr, dt = self._block_times(), self._block_dt(running)
+        mask = self._mask_of(running)
+        self._comm_hooks(running, lvl_idx)  # send side
+        blk.uend = blk.endpoint(blk.state, t_arr, dt, mask, blk.uend)
+        recv = self._recv_mask_of(running)
+        blk.state = blk.shift_recv(blk.state, blk.uend, t_arr, recv)
+        self._comm_hooks(running, lvl_idx, record=record)  # recv side
 
-    # ------------------------------------------------------------------
-    def _run_block(self, u0, t_arr, dt, active_time):
-        """One PFASST block to convergence; returns per-step iteration counts
-        and the residual history."""
-        P = self.num_procs
+    def _masked_sweeps(self, running, lvl_idx, nsweeps, stage, record_last=True):
+        """nsweeps batched sweeps on one level with exchanges and hooks,
+        matching the virtual controller's per-level sweep loops."""
+        blk = self.blocks[lvl_idx]
+        t_arr, dt = self._block_times(), self._block_dt(running)
+        mask = self._mask_of(running)
+        sweep = blk.level.sweep
+        for k in range(nsweeps):
+            if lvl_idx == 0:
+                for step in running:
+                    step.levels[0].status.sweep += 1
+            self._exchange(running, lvl_idx, record=(record_last and k == nsweeps - 1))
+            for step in running:
+                self._fire('pre_sweep', step, lvl_idx)
+            kk = running[0].levels[lvl_idx].status.sweep if sweep.k_dependent else 0
+            blk.state = blk.sweep(blk.state, t_arr, dt, mask, kk)
+            norms = blk.residual(blk.state, dt)
+            self._sync_level(running, lvl_idx)
+            self._set_residuals(running, lvl_idx, stage, norms)
+            for step in running:
+                self._fire('post_sweep', step, lvl_idx)
+
+    # -- stage handlers (device-batched versions of the inherited ones) ---
+    def _spread(self, running):
+        for step in running:
+            self._fire('pre_step', step, 0)
+
+        dt = self._block_dt(running)
+        t_arr = self._block_times()
         fine = self.blocks[0]
-        restol = self.template.levels[0].params.restol
-
-        # SPREAD: predict on the finest level from the same u0 everywhere
-        u0_block = jnp.broadcast_to(u0, (P,) + u0.shape)
-        fine.state = fine.shard_tree(fine.predict(u0_block, t_arr, dt))
         for b in self.blocks:
-            b.uend = jnp.zeros((P,) + b.level.prob.shape, b.level.prob.dtype)
-        fine.uend = fine.endpoint(fine.state, t_arr, dt, jnp.ones(P, bool), fine.uend)
+            b.reset()
+        u0 = jnp.asarray(running[0].u0)
+        u0_block = jnp.broadcast_to(u0, (self.num_procs,) + u0.shape)
+        fine.state = fine.shard_tree(fine.predict(u0_block, t_arr, dt))
+        mask = self._mask_of(running)
+        fine.uend = fine.endpoint(fine.state, t_arr, dt, mask, fine.uend)
+        self._sync_level(running, 0)
 
-        # PREDICT: pfasst_burnin (multi-level only)
-        if self.nlevels > 1 and self.params.predict_type == 'pfasst_burnin':
-            self._burnin(t_arr, dt)
-        elif self.params.predict_type == 'fine_only':
-            fine.state = fine.sweep(fine.state, t_arr, dt, jnp.ones(P, bool), 0)
+        for step in running:
+            step.status.stage = 'PREDICT' if len(step.levels) > 1 else 'IT_CHECK'
+            for policy in self._policies():
+                policy.post_spread_processing(self, step, MS=running)
 
-        done = ~np.asarray(active_time)  # inactive steps count as done
-        prev_done = np.zeros(P, bool)
-        iters = np.zeros(P, int)
-        res_hist = []
-        # embedded error estimate: || u^k[-1] - u^{k-1}[-1] ||_max per step,
-        # snapshotted at IT_CHECK (matches EstimateEmbeddedError + StoreUOld
-        # ordering in the virtual controller)
-        uold_last = None
-        e_est = np.full(P, np.nan)
+    def _predict(self, running):
+        for step in running:
+            self._fire('pre_predict', step, 0)
 
-        while not done.all():
-            active = jnp.asarray(~done)
+        kind = self.params.predict_type
+        if kind is None:
+            pass
+        elif kind == 'fine_only':
+            self._masked_sweeps(running, 0, 1, 'PREDICT', record_last=False)
+        elif kind == 'pfasst_burnin':
+            self._burnin(running)
+        elif kind == 'fmg':
+            self._full_multigrid(running)
+        else:
+            raise ControllerError(f'unrecognized predict_type {kind!r}')
 
-            # IT_CHECK comm: send/recv on the finest level
-            fine.uend = fine.endpoint(fine.state, t_arr, dt, active, fine.uend)
-            recv = jnp.asarray(self._recv_mask(done, prev_done))
-            fine.state = fine.shift_recv(fine.state, fine.uend, t_arr, recv)
+        for step in running:
+            self._fire('post_predict', step, 0)
+            step.status.stage = 'IT_CHECK'
 
-            norms = np.asarray(fine.residual(fine.state, dt))
-            res_hist.append(np.where(~done, norms, np.nan))
+    def _burnin(self, running):
+        """Batched pfasst_burnin: staggered coarse wavefront via masks."""
+        t_arr, dt = self._block_times(), self._block_dt(running)
+        slots = np.array([s.status.slot for s in running])
 
-            if self.adaptivity is not None:
-                u_last = fine.state.u[:, -1]
-                if uold_last is not None:
-                    diff = jnp.abs(u_last - uold_last).reshape(P, -1).max(axis=1)
-                    e_est = np.where(~done, np.maximum(np.asarray(diff), np.finfo(float).eps), e_est)
-                uold_last = u_last
-
-            # convergence control (CheckConvergence semantics; status.sweep
-            # is always >= 1 here, so restol may trigger at iteration 0 just
-            # like the reference check_convergence.py:75-80)
-            checks = done.copy()
-            for j in range(P):
-                if not done[j]:
-                    checks[j] = iters[j] >= self.maxiter or norms[j] <= restol
-            if self.params.all_to_done:
-                new_done = np.full(P, bool(checks.all()))
-            else:
-                # Gauss-Seidel prev_done forwarding (cascades in slot order)
-                new_done = checks.copy()
-                for j in range(1, P):
-                    if not done[j]:
-                        prev_done[j] = new_done[j - 1]
-                        new_done[j] = new_done[j] and prev_done[j]
-            done = new_done
-            if done.all():
-                break
-            iters = iters + (~done).astype(int)
-            active = jnp.asarray(~done)
-            recv = jnp.asarray(self._recv_mask(done, prev_done))
-
-            if self.nlevels > 1:
-                self._pfasst_iteration(t_arr, dt, active, recv)
-            else:
-                # IT_FINE (SDC / Jacobi MSSDC)
-                for _ in range(self.nsweeps[0]):
-                    fine.uend = fine.endpoint(fine.state, t_arr, dt, active, fine.uend)
-                    fine.state = fine.shift_recv(fine.state, fine.uend, t_arr, recv)
-                    fine.state = fine.sweep(fine.state, t_arr, dt, active, 0)
-
-        self._block_uend = fine.endpoint(fine.state, t_arr, dt, jnp.ones(P, bool), fine.uend)
-        self._block_states = fine.state
-        return iters.tolist(), res_hist, e_est
-
-    def _recv_mask(self, done, prev_done):
-        P = self.num_procs
-        mask = np.zeros(P, bool)
-        for j in range(1, P):
-            mask[j] = (not done[j]) and (not prev_done[j])
-        return mask
-
-    # -- multi-level pieces ---------------------------------------------
-    def _burnin(self, t_arr, dt):
-        """pfasst_burnin predictor (reference controller_nonMPI.py:424-462)."""
-        P = self.num_procs
-        ones = jnp.ones(P, bool)
-
-        # restrict to coarsest
         for lvl, tr in enumerate(self.transfers):
             F, G = self.blocks[lvl], self.blocks[lvl + 1]
-            G_state, uold, fold = tr.restrict(F.state, t_arr, dt, dt)
-            G.state, G.uold, G.fold = G_state, uold, fold
+            G.state, G.uold, G.fold = tr.restrict(F.state, t_arr, dt, dt)
 
         coarse = self.blocks[-1]
-        for q in range(P):
-            sweep_mask = jnp.asarray(np.arange(P) >= q)
+        coarse_idx = self.nlevels - 1
+        for q in range(len(running)):
+            sweep_mask = jnp.asarray(np.isin(np.arange(self.num_procs), slots[q:]))
             coarse.state = coarse.sweep(coarse.state, t_arr, dt, sweep_mask, 0)
+            self._comm_hooks(running[q:], coarse_idx)
             coarse.uend = coarse.endpoint(coarse.state, t_arr, dt, sweep_mask, coarse.uend)
-            recv_mask = jnp.asarray(np.arange(P) >= q + 1)
-            coarse.state = coarse.shift_recv(coarse.state, coarse.uend, t_arr, recv_mask)
+            recv_np = np.isin(np.arange(self.num_procs), slots[q + 1 :])
+            for j, step in enumerate(running[q + 1 :], start=q + 1):
+                recv_np[step.status.slot] &= not step.status.prev_done and not step.status.first
+                with self._comm_scope(step, coarse_idx, record=(j == len(running) - 1)):
+                    pass
+            coarse.state = coarse.shift_recv(coarse.state, coarse.uend, t_arr, jnp.asarray(recv_np))
 
-        # prolong back to finest
         for lvl in range(self.nlevels - 1, 0, -1):
             tr = self.transfers[lvl - 1]
             F, G = self.blocks[lvl - 1], self.blocks[lvl]
             F.state = tr.prolong(F.state, G.state, G.uold, t_arr, dt)
 
+        self._exchange(running, 0)
         fine = self.blocks[0]
-        fine.uend = fine.endpoint(fine.state, t_arr, dt, ones, fine.uend)
-        recv_all = jnp.asarray(np.arange(P) >= 1)
-        fine.state = fine.shift_recv(fine.state, fine.uend, t_arr, recv_all)
-        fine.state = fine.sweep(fine.state, t_arr, dt, ones, 0)
+        fine.state = fine.sweep(fine.state, t_arr, dt, self._mask_of(running), 0)
+        self._sync_level(running, 0)
 
-    def _pfasst_iteration(self, t_arr, dt, active, recv):
-        """IT_DOWN -> IT_COARSE -> IT_UP -> IT_FINE for one iteration."""
+    def _full_multigrid(self, running):
+        """Batched FMG predictor (see the virtual twin for the algorithm)."""
+        t_arr, dt = self._block_times(), self._block_dt(running)
+        mask = self._mask_of(running)
+
+        for lvl, tr in enumerate(self.transfers):
+            F, G = self.blocks[lvl], self.blocks[lvl + 1]
+            G.state, G.uold, G.fold = tr.restrict(F.state, t_arr, dt, dt)
+
+        coarse = self.blocks[-1]
+        coarse_idx = self.nlevels - 1
+        self._comm_hooks(running, coarse_idx)
+        recv = self._recv_mask_of(running)
+        coarse.state, coarse.uend = coarse.coarse_chain(
+            coarse.state, coarse.uend, t_arr, dt, recv, mask, 0
+        )
+        self._comm_hooks(running, coarse_idx)
+
+        for l in range(self.nlevels - 1, 0, -1):
+            tr = self.transfers[l - 1]
+            F, G = self.blocks[l - 1], self.blocks[l]
+            F.state = tr.prolong(F.state, G.state, G.uold, t_arr, dt)
+            if l - 1 > 0:
+                F.state = F.sweep(F.state, t_arr, dt, mask, 0)
+
+        self._exchange(running, 0)
         fine = self.blocks[0]
+        fine.state = fine.sweep(fine.state, t_arr, dt, mask, 0)
+        self._sync_level(running, 0)
 
-        # IT_DOWN: restrict (middle-level sweeps included)
+    def _measure_at_check(self, running):
+        """IT_CHECK entry: batched boundary exchange + residuals; the policy
+        sequence that follows is inherited unchanged."""
+        self._exchange(running, 0)
+        fine = self.blocks[0]
+        norms = fine.residual(fine.state, self._block_dt(running))
+        self._sync_level(running, 0)
+        self._set_residuals(running, 0, 'IT_CHECK', norms)
+
+    def _fine_sweeps(self, running):
+        for step in running:
+            step.levels[0].status.sweep = 0
+        self._masked_sweeps(running, 0, self.nsweeps[0], 'IT_FINE')
+        for step in running:
+            step.status.stage = 'IT_CHECK'
+
+    def _restrict_cascade(self, running):
+        t_arr, dt = self._block_times(), self._block_dt(running)
         for lvl, tr in enumerate(self.transfers):
             F, G = self.blocks[lvl], self.blocks[lvl + 1]
             if lvl > 0:
-                for _ in range(self.nsweeps[lvl]):
-                    F.uend = F.endpoint(F.state, t_arr, dt, active, F.uend)
-                    F.state = F.shift_recv(F.state, F.uend, t_arr, recv)
-                    F.state = F.sweep(F.state, t_arr, dt, active, 0)
-            G_state, uold, fold = tr.restrict(F.state, t_arr, dt, dt)
-            G.state, G.uold, G.fold = G_state, uold, fold
+                self._masked_sweeps(running, lvl, self.nsweeps[lvl], 'IT_DOWN', record_last=False)
+            G.state, G.uold, G.fold = tr.restrict(F.state, t_arr, dt, dt)
+            self._sync_level(running, lvl + 1)
+        for step in running:
+            step.status.stage = 'IT_COARSE'
 
-        # IT_COARSE: serialized chain
+    def _coarse_chain(self, running):
         coarse = self.blocks[-1]
+        coarse_idx = self.nlevels - 1
+        t_arr, dt = self._block_times(), self._block_dt(running)
+        mask = self._mask_of(running)
+        recv = self._recv_mask_of(running)
+
+        self._comm_hooks(running, coarse_idx)  # pull side
+        for step in running:
+            self._fire('pre_sweep', step, coarse_idx)
         coarse.state, coarse.uend = coarse.coarse_chain(
-            coarse.state, coarse.uend, t_arr, dt, recv, active, 0
+            coarse.state, coarse.uend, t_arr, dt, recv, mask, 0
         )
+        norms = coarse.residual(coarse.state, dt)
+        self._sync_level(running, coarse_idx)
+        self._set_residuals(running, coarse_idx, 'IT_COARSE', norms)
+        for step in running:
+            self._fire('post_sweep', step, coarse_idx)
+        self._comm_hooks(running, coarse_idx, record=True)  # push side
 
-        # IT_UP: prolong + middle-level sweeps
-        for lvl in range(self.nlevels - 1, 0, -1):
-            tr = self.transfers[lvl - 1]
-            F, G = self.blocks[lvl - 1], self.blocks[lvl]
+        for step in running:
+            step.status.stage = 'IT_UP' if self.nlevels > 1 else 'IT_CHECK'
+
+    def _prolong_cascade(self, running):
+        t_arr, dt = self._block_times(), self._block_dt(running)
+        for l in range(self.nlevels - 1, 0, -1):
+            tr = self.transfers[l - 1]
+            F, G = self.blocks[l - 1], self.blocks[l]
+            # done steps were masked out of every sweep since restriction, so
+            # their prolongation correction is exactly zero — no mask needed
             F.state = tr.prolong(F.state, G.state, G.uold, t_arr, dt)
-            if lvl - 1 > 0:
-                for _ in range(self.nsweeps[lvl - 1]):
-                    F.uend = F.endpoint(F.state, t_arr, dt, active, F.uend)
-                    F.state = F.shift_recv(F.state, F.uend, t_arr, recv)
-                    F.state = F.sweep(F.state, t_arr, dt, active, 0)
-
-        # IT_FINE
-        for _ in range(self.nsweeps[0]):
-            fine.uend = fine.endpoint(fine.state, t_arr, dt, active, fine.uend)
-            fine.state = fine.shift_recv(fine.state, fine.uend, t_arr, recv)
-            fine.state = fine.sweep(fine.state, t_arr, dt, active, 0)
+            self._sync_level(running, l - 1)
+            if l - 1 > 0:
+                self._masked_sweeps(running, l - 1, self.nsweeps[l - 1], 'IT_UP')
+        for step in running:
+            step.status.stage = 'IT_FINE'

@@ -110,6 +110,48 @@ def test_graft_entry_surface():
     g.dryrun_multichip(len(jax.devices()))
 
 
+def test_sharded_stats_equivalence_adaptive_run():
+    """VERDICT round-1 gate: the sharded controller runs the *identical* hook
+    + convergence-controller machinery as the virtual one, so
+    ``get_sorted(stats, type=...)`` must agree entry for entry on an adaptive
+    van-der-Pol run with restarts (reference: controller_MPI runs the same
+    hooks/CCs as controller_nonMPI, controller_MPI.py:403-460)."""
+    from pysdc_tpu.convergence.adaptivity import Adaptivity
+    from pysdc_tpu.models.odes import VanDerPol
+
+    desc = dict(
+        problem_class=VanDerPol,
+        problem_params=dict(mu=5.0, u0=(2.0, 0.0), newton_tol=1e-10),
+        sweeper_class=GenericImplicit,
+        sweeper_params=dict(quad_type='RADAU-RIGHT', num_nodes=3, QI='LU'),
+        level_params=dict(restol=-1.0, dt=1e-2),
+        step_params=dict(maxiter=7),
+        convergence_controllers={Adaptivity: {'e_tol': 1e-7, 'embedded_error_flavor': 'linearized'}},
+    )
+    cp = {'logger_level': 40, 'mssdc_jac': True}
+
+    ref = ControllerNonMPI(4, cp, desc)
+    P = ref.MS[0].levels[0].prob
+    _, s_ref = ref.run(P.u_exact(0.0), 0.0, 0.3)
+    sh = ShardedController(4, cp, desc, mesh=make_mesh(n_time=4, n_space=1))
+    _, s_sh = sh.run(P.u_exact(0.0), 0.0, 0.3)
+
+    for kind in ('niter', 'dt', 'restart', 'error_embedded_estimate',
+                 'residual_post_iteration', 'residual_post_step', 'residual_post_sweep'):
+        a = get_sorted(s_ref, type=kind, recomputed=None)
+        b = get_sorted(s_sh, type=kind, recomputed=None)
+        assert len(a) == len(b), (kind, len(a), len(b))
+        for (t1, v1), (t2, v2) in zip(a, b):
+            assert abs(t1 - t2) < 1e-12, (kind, t1, t2)
+            assert np.isclose(v1, v2, rtol=1e-6, atol=1e-12), (kind, t1, v1, v2)
+
+    # identical Entry keys (same hook points fired with the same metadata)
+    for kind in ('niter', 'restart'):
+        keys_ref = sorted(k for k in s_ref if k.type == kind)
+        keys_sh = sorted(k for k in s_sh if k.type == kind)
+        assert keys_ref == keys_sh, kind
+
+
 def test_sharded_adaptivity_matches_virtual():
     """Adaptivity + restarts on the sharded path: accepted step sizes,
     restart pattern, and solution must match the virtual controller
