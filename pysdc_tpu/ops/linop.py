@@ -43,7 +43,7 @@ class SeparableFDOperator:
         global prefactor (e.g. diffusion coefficient nu).
     """
 
-    def __init__(self, per_dim: list[dict], scale: float = 1.0, dtype=None):
+    def __init__(self, per_dim: list[dict], scale: float = 1.0, dtype=None, pallas: str | bool = 'auto'):
         self.ndim = len(per_dim)
         self.scale = float(scale)
         self.dtype = dtype
@@ -116,6 +116,18 @@ class SeparableFDOperator:
         if self.all_periodic and not np.iscomplexobj(lam_nd):
             self._lam_rfft = lam_nd[..., : self.shape[-1] // 2 + 1]
 
+        # 2D all-periodic operators qualify for the fused Pallas cross-stencil
+        # apply: one pass over HBM for all taps instead of one roll per tap.
+        # pallas='auto' uses it on TPU only (the CPU fallback interprets the
+        # kernel, which is for tests, not speed); True forces it everywhere.
+        self._cross_terms = None
+        if self.ndim == 2 and self.all_periodic:
+            self._cross_terms = tuple(
+                (tuple(float(c) for c in d['coeff']), tuple(int(s) for s in d['offs']))
+                for d in self._dims
+            )
+        self._pallas = pallas
+
     def disable_rfft(self):
         """Route solves through the full complex-FFT path.
 
@@ -131,11 +143,37 @@ class SeparableFDOperator:
         """Re-enable the half-spectrum path when the operator supports it."""
         self._rfft_ok = self.all_periodic and hasattr(self, '_lam_rfft')
 
+    def disable_pallas(self):
+        """Route ``apply`` through the roll path (e.g. when the operand is
+        GSPMD-sharded — pallas_call is an opaque custom call XLA cannot
+        partition automatically; sharded callers use halo_cross_apply)."""
+        self._pallas = False
+
+    def enable_pallas(self, mode='auto'):
+        self._pallas = mode
+
+    def _use_pallas_apply(self, u) -> bool:
+        if self._cross_terms is None or self._pallas is False:
+            return False
+        if jnp.iscomplexobj(u):
+            return False
+        if self._pallas == 'auto':
+            from pysdc_tpu.ops.pallas.stencil import _on_tpu
+
+            return _on_tpu()
+        return True
+
     # ------------------------------------------------------------------
     def apply(self, u):
-        """A @ u, matrix-free.  Periodic axes use rolls (VPU-fused), general
-        axes one dense matmul each (MXU).  BC rhs vector is NOT included
-        (matches the reference, which keeps b separate)."""
+        """A @ u, matrix-free.  2D all-periodic operators dispatch to the
+        fused Pallas cross-stencil kernel on TPU (one HBM pass for all taps);
+        otherwise periodic axes use rolls (VPU-fused) and general axes one
+        dense matmul each (MXU).  BC rhs vector is NOT included (matches the
+        reference, which keeps b separate)."""
+        if self._use_pallas_apply(u):
+            from pysdc_tpu.ops.pallas.stencil import cross_stencil_2d
+
+            return self.scale * cross_stencil_2d(u, self._cross_terms)
         offset = u.ndim - self.ndim  # support leading batch axes
         out = jnp.zeros_like(u)
         for d in self._dims:

@@ -27,7 +27,10 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
-from jax.experimental.shard_map import shard_map
+try:
+    from jax import shard_map
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map
 from jax.sharding import PartitionSpec
 
 
@@ -49,59 +52,97 @@ def _pick_tile(n: int, target: int, align: int) -> int:
     return best
 
 
-def _stencil2d_kernel(up_ref, out_ref, tile_vmem, sem, *, c0, cx, cy, tx, ty):
-    """Grid step (i, j): DMA the (tx+2, ty+2) tile+halo window from the
-    ghost-padded operand in HBM into VMEM, apply the fused 5-point stencil
-    on the VPU, write the (tx, ty) output block."""
-    i = pl.program_id(0)
-    j = pl.program_id(1)
+def stencil2d_periodic(u, c0: float, cx: float, cy: float, interpret: bool | None = None):
+    """Fused periodic 5-point stencil via Pallas.  Equivalent to
+    ``c0*u + cx*(roll(u,1,0)+roll(u,-1,0)) + cy*(roll(u,1,1)+roll(u,-1,1))``.
+    Thin wrapper over :func:`cross_stencil_2d`."""
+    terms = ((float(cx), float(c0), float(cx)), (-1, 0, 1)), ((float(cy), float(cy)), (-1, 1))
+    return cross_stencil_2d(u, terms, interpret=interpret)
+
+
+def _align_up(n: int, align: int) -> int:
+    return -(-n // align) * align
+
+
+def _cross2d_kernel(up_ref, out_ref, tile_vmem, sem, *, terms, rx, ry, tx, ty, wx, wy):
+    """Grid step (b, i, j): DMA the aligned (wx, wy) window of batch slice b
+    (tile + halo, rounded up to the (8, 128) tiling Mosaic requires of HBM
+    slices) into VMEM, evaluate the cross-shaped stencil (arbitrary static
+    offsets per axis) on the VPU, write the (tx, ty) tile."""
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
     dma = pltpu.make_async_copy(
-        up_ref.at[pl.ds(i * tx, tx + 2), pl.ds(j * ty, ty + 2)],
+        up_ref.at[b, pl.ds(i * tx, wx), pl.ds(j * ty, wy)],
         tile_vmem,
         sem,
     )
     dma.start()
     dma.wait()
     u = tile_vmem[:]
-    out_ref[:] = (
-        c0 * u[1:-1, 1:-1]
-        + cx * (u[2:, 1:-1] + u[:-2, 1:-1])
-        + cy * (u[1:-1, 2:] + u[1:-1, :-2])
-    )
+    (coeff_x, offs_x), (coeff_y, offs_y) = terms
+    acc = jnp.zeros((tx, ty), u.dtype)
+    for c, s in zip(coeff_x, offs_x):
+        acc = acc + c * u[rx + s : rx + s + tx, ry : ry + ty]
+    for c, s in zip(coeff_y, offs_y):
+        acc = acc + c * u[rx : rx + tx, ry + s : ry + s + ty]
+    out_ref[0] = acc
 
 
-@functools.partial(jax.jit, static_argnames=('c0', 'cx', 'cy', 'interpret'))
-def stencil2d_periodic(u, c0: float, cx: float, cy: float, interpret: bool | None = None):
-    """Fused periodic 5-point stencil via Pallas.
+@functools.partial(jax.jit, static_argnames=('terms', 'interpret'))
+def cross_stencil_2d(u, terms, interpret: bool | None = None):
+    """Arbitrary-offset periodic cross stencil on the trailing two axes.
 
-    The ghost-padded operand stays in HBM (``memory_space=ANY``); each grid
-    block DMAs its tile plus a 1-deep halo into a VMEM scratch buffer
-    (overlapping windows cannot be expressed as BlockSpecs), computes on the
-    VPU, and writes the tile.  Equivalent to
-    ``c0*u + cx*(roll(u,1,0)+roll(u,-1,0)) + cy*(roll(u,1,1)+roll(u,-1,1))``.
+    ``terms = ((coeff_x, offs_x), (coeff_y, offs_y))`` — nested tuples of
+    Python floats/ints (static).  Equivalent to
+    ``sum_d sum_s c_{d,s} * roll(u, -s, axis=d)`` but fused into one Pallas
+    pass over HBM: the ghost-padded operand stays in HBM, each grid block
+    DMAs its tile + halo into VMEM and evaluates all taps there.  Windows
+    are rounded up to the (8, 128) memref tiling (Mosaic rejects unaligned
+    HBM slices); the operand is wrap-padded far enough that the rounded
+    window always reads valid periodic data.  Leading axes batch
+    (collocation nodes / PFASST steps).
+
+    This is the hot ``SeparableFDOperator.apply`` path on TPU for 2D
+    periodic operators of any order (reference assembles a scipy CSR matrix
+    instead, generic_ND_FD.py:120-180).
     """
     if interpret is None:
         interpret = not _on_tpu()
-    nx, ny = u.shape
-    up = jnp.pad(u, 1, mode='wrap')
+    nx, ny = u.shape[-2:]
+    batch_shape = u.shape[:-2]
+    ub = u.reshape((-1, nx, ny))
+    nb = ub.shape[0]
+
+    (coeff_x, offs_x), (coeff_y, offs_y) = terms
+    rx = max(abs(int(s)) for s in offs_x) if offs_x else 0
+    ry = max(abs(int(s)) for s in offs_y) if offs_y else 0
 
     tx = _pick_tile(nx, 256, 8)
     ty = _pick_tile(ny, 512, 128)
-    grid = (nx // tx, ny // ty)
+    # aligned DMA window (tile + halo rounded up); extra wrap padding keeps
+    # the widest window in bounds — the surplus cells are fetched, not used
+    wx = _align_up(tx + 2 * rx, 8)
+    wy = _align_up(ty + 2 * ry, 128)
+    up = jnp.pad(ub, ((0, 0), (rx, wx - tx - rx), (ry, wy - ty - ry)), mode='wrap')
+    grid = (nb, nx // tx, ny // ty)
 
-    kernel = functools.partial(_stencil2d_kernel, c0=c0, cx=cx, cy=cy, tx=tx, ty=ty)
-    return pl.pallas_call(
+    kernel = functools.partial(
+        _cross2d_kernel, terms=terms, rx=rx, ry=ry, tx=tx, ty=ty, wx=wx, wy=wy
+    )
+    out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((nx, ny), u.dtype),
+        out_shape=jax.ShapeDtypeStruct((nb, nx, ny), u.dtype),
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec((tx, ty), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((1, tx, ty), lambda b, i, j: (b, i, j), memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((tx + 2, ty + 2), u.dtype),
+            pltpu.VMEM((wx, wy), u.dtype),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
     )(up)
+    return out.reshape(batch_shape + (nx, ny))
 
 
 def _local_stencil_with_halo(u_loc, left_ghost, right_ghost, c0, cx, cy):
@@ -132,6 +173,44 @@ def halo_stencil_apply(u, mesh, c0: float, cx: float, cy: float, axis: str = 'sp
         left_ghost = jax.lax.ppermute(u_loc[-1], axis, perm_fwd)
         right_ghost = jax.lax.ppermute(u_loc[0], axis, perm_bwd)
         return _local_stencil_with_halo(u_loc, left_ghost, right_ghost, c0, cx, cy)
+
+    spec = PartitionSpec(axis, None)
+    return shard_map(shard_fn, mesh=mesh, in_specs=(spec,), out_specs=spec)(u)
+
+
+def halo_cross_apply(u, mesh, terms, axis: str = 'space'):
+    """Arbitrary-width periodic cross stencil on an array whose leading
+    spatial axis is sharded over mesh axis ``axis``.
+
+    ``terms = ((coeff_x, offs_x), (coeff_y, offs_y))`` as in
+    :func:`cross_stencil_2d`.  An ``rx``-deep halo travels over ICI via
+    ``ppermute`` (one send each way, regardless of stencil order); the local
+    taps are plain fused slices.  Numerically identical to the unsharded
+    apply (gated in tests/test_pallas_stencil.py)."""
+    (coeff_x, offs_x), (coeff_y, offs_y) = terms
+    rx = max((abs(int(s)) for s in offs_x), default=0)
+    ry = max((abs(int(s)) for s in offs_y), default=0)
+    n_shards = mesh.shape[axis]
+    perm_fwd = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+    perm_bwd = [(i, (i - 1) % n_shards) for i in range(n_shards)]
+
+    def shard_fn(u_loc):
+        nloc = u_loc.shape[0]
+        if rx > nloc:
+            raise ValueError(f'stencil radius {rx} exceeds local shard size {nloc}')
+        if rx > 0:
+            top_ghost = jax.lax.ppermute(u_loc[-rx:], axis, perm_fwd)
+            bot_ghost = jax.lax.ppermute(u_loc[:rx], axis, perm_bwd)
+            ext = jnp.concatenate([top_ghost, u_loc, bot_ghost], axis=0)
+        else:
+            ext = u_loc
+        up = jnp.pad(ext, ((0, 0), (ry, ry)), mode='wrap')
+        acc = jnp.zeros_like(u_loc)
+        for c, s in zip(coeff_x, offs_x):
+            acc = acc + c * up[rx + s : rx + s + nloc, ry : ry + up.shape[1] - 2 * ry]
+        for c, s in zip(coeff_y, offs_y):
+            acc = acc + c * up[rx : rx + nloc, ry + s : ry + s + up.shape[1] - 2 * ry]
+        return acc
 
     spec = PartitionSpec(axis, None)
     return shard_map(shard_fn, mesh=mesh, in_specs=(spec,), out_specs=spec)(u)

@@ -221,6 +221,9 @@ class ShardedController(ControllerNonMPI):
                     for attr in vars(lvl.prob).values():
                         if isinstance(attr, SeparableFDOperator):
                             attr.disable_rfft()
+                            # pallas_call is an opaque custom call GSPMD
+                            # cannot partition; sharded applies stay on rolls
+                            attr.disable_pallas()
 
         # one compile serves all shadow steps: share the template step's
         # jitted level kernels (shapes and configs are identical; mutable

@@ -11,7 +11,12 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from pysdc_tpu.ops.pallas.stencil import halo_stencil_apply, stencil2d_periodic
+from pysdc_tpu.ops.pallas.stencil import (
+    cross_stencil_2d,
+    halo_cross_apply,
+    halo_stencil_apply,
+    stencil2d_periodic,
+)
 
 
 def _roll_reference(u, c0, cx, cy):
@@ -47,6 +52,75 @@ def test_halo_stencil_matches_unsharded():
     got = halo_stencil_apply(u, space_mesh, c0, cx, cy, axis='space')
     want = _roll_reference(u, c0, cx, cy)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-12, atol=1e-12)
+
+
+def _cross_reference(u, terms):
+    out = jnp.zeros_like(u)
+    for ax, (coeff, offs) in enumerate(terms):
+        for c, s in zip(coeff, offs):
+            out = out + c * jnp.roll(u, -int(s), axis=ax + u.ndim - 2)
+    return out
+
+
+@pytest.mark.parametrize(
+    'terms',
+    [
+        (((1.0, -2.0, 1.0), (-1, 0, 1)), ((1.5, -3.0, 1.5), (-1, 0, 1))),  # 2nd order
+        (
+            ((-1 / 12, 4 / 3, -5 / 2, 4 / 3, -1 / 12), (-2, -1, 0, 1, 2)),  # 4th order
+            ((-1 / 12, 4 / 3, -5 / 2, 4 / 3, -1 / 12), (-2, -1, 0, 1, 2)),
+        ),
+        (((0.5, -2.0, 1.5), (-2, -1, 0)), ((1.0,), (1,))),  # asymmetric/upwind
+    ],
+)
+def test_cross_stencil_matches_rolls(terms):
+    rng = np.random.default_rng(11)
+    u = jnp.asarray(rng.standard_normal((32, 128)), jnp.float32)
+    got = cross_stencil_2d(u, terms, interpret=True)
+    want = _cross_reference(u, terms)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-6, atol=2e-6)
+
+
+def test_cross_stencil_batched():
+    terms = (((1.0, -2.0, 1.0), (-1, 0, 1)), ((1.0, -2.0, 1.0), (-1, 0, 1)))
+    rng = np.random.default_rng(5)
+    u = jnp.asarray(rng.standard_normal((3, 5, 16, 128)), jnp.float32)
+    got = cross_stencil_2d(u, terms, interpret=True)
+    want = _cross_reference(u, terms)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-6, atol=2e-6)
+
+
+@pytest.mark.parametrize('order', [2, 4])
+def test_halo_cross_arbitrary_width(order):
+    from pysdc_tpu.ops.fd import get_finite_difference_stencil
+
+    coeff, offs = get_finite_difference_stencil(2, order, 'center')
+    terms = (
+        (tuple(float(c) for c in coeff), tuple(int(s) for s in offs)),
+        (tuple(float(c) for c in coeff), tuple(int(s) for s in offs)),
+    )
+    n_space = min(4, len(jax.devices()))
+    space_mesh = jax.sharding.Mesh(np.asarray(jax.devices()[:n_space]), axis_names=('space',))
+    rng = np.random.default_rng(9)
+    u = jnp.asarray(rng.standard_normal((8 * n_space, 32)))
+    got = halo_cross_apply(u, space_mesh, terms, axis='space')
+    want = _cross_reference(u, terms)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-12, atol=1e-12)
+
+
+def test_operator_pallas_dispatch_matches_roll_path():
+    """SeparableFDOperator(pallas=True) matches the roll path (wiring gate)."""
+    from pysdc_tpu.ops.linop import SeparableFDOperator
+
+    per_dim = [dict(size=32, dx=1 / 32, derivative=2, order=4, stencil_type='center', bc='periodic')] * 2
+    op_roll = SeparableFDOperator(per_dim, scale=0.3, pallas=False)
+    op_pallas = SeparableFDOperator(per_dim, scale=0.3, pallas=True)
+    assert op_pallas._cross_terms is not None
+    rng = np.random.default_rng(2)
+    u = jnp.asarray(rng.standard_normal((5, 32, 32)), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(op_pallas.apply(u)), np.asarray(op_roll.apply(u)), rtol=2e-4, atol=2e-4
+    )
 
 
 def test_halo_stencil_single_shard():
