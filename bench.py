@@ -1,27 +1,55 @@
-"""Headline benchmark: nnz/s per chip in SDC sweeps (north star, BASELINE.json).
+"""Headline benchmark (north star, BASELINE.json): nnz/s per chip in SDC
+sweeps + PFASST time-parallel speedup vs serial SDC.
 
-Workload: sustained generic-implicit SDC sweeps (update_nodes + residual) on
-the 2D heat operator (periodic 5-point stencil), M=4 Radau-right nodes, LU
-preconditioner — the reference's hot loop (generic_implicit.py:51-103).
+The headline value is the *general* sweep loop — one jitted
+``update_nodes`` (sweep through all M nodes: integral matmul, implicit
+solves, RHS re-evaluations) plus the residual, dispatched per sweep exactly
+the way the controllers drive it.  This matches the reference's hot loop
+(generic_implicit.py:51-103: sweep -> spatial solve -> residual every
+iteration).  The linear-problem fused fast path (ops/diag_sdc.py: one
+transform, k elementwise sweeps, one transform back) is reported in extras.
 
 nnz accounting: one sweep evaluates the RHS at all M nodes; each evaluation
-applies the stencil operator (nnz_per_dof * n_dof multiply-adds).  The
-residual applies Q across nodes.  We count only the operator applications:
+applies the assembled-stencil operator (nnz_per_dof * n_dof multiply-adds).
 nnz_per_sweep = M * nnz_per_dof * n_dof (conservative: implicit solves and
 Q-matmuls are uncounted extra work).
 
 vs_baseline: the same sweep math in the reference's technology (scipy CSR
-SpMV + cached splu solves, single CPU core) measured in-process at its own
-comfortable size; ratio = TPU nnz/s / scipy nnz/s.
+SpMV + cached splu solves, single CPU core, generic_ND_FD.py:208-240),
+measured in-process at the SAME grid size as the matched TPU run
+(matched_n below) — per-nnz rates at identical shapes.
+
+extras also report:
+  - a nonlinear BASELINE config (2D Allen-Cahn, semi-implicit IMEX SDC)
+  - PFASST time-parallel speedup vs serial SDC: (a) projected from real-TPU
+    wall clock of the virtual block controller (T_serial / (T_block / P) —
+    comm-free upper bound, the block does P ranks' work on one chip), and
+    (b) measured end-to-end on an 8-device emulated mesh with real
+    collectives (subprocess, JAX_PLATFORMS=cpu), analog of the reference's
+    JUBE speedup tables (projects/Performance/timings_BSC.txt:2-34)
+  - an HBM roofline estimate for the stencil apply kernel
 """
 
 import json
+import os
+import subprocess
+import sys
 import time
 
 import numpy as np
 
+HBM_PEAK_GBPS = 819.0  # TPU v5e HBM bandwidth
 
-def bench_tpu(n=2048, M=4, k_inner=10, reps=4):
+
+def _setup_jax_cache():
+    import jax
+
+    jax.config.update('jax_compilation_cache_dir', os.path.join(os.path.dirname(os.path.abspath(__file__)), '.jax_cache'))
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+
+
+def bench_tpu_general(n=2048, M=4, n_sweeps=10, reps=3):
+    """General sweep loop: jitted (update_nodes + residual) per sweep."""
     import jax
     import jax.numpy as jnp
 
@@ -31,11 +59,44 @@ def bench_tpu(n=2048, M=4, k_inner=10, reps=4):
     prob = HeatND(nvars=(n, n), nu=0.1, freq=2, bc='periodic', dtype=jnp.float32)
     sweep = GenericImplicit({'num_nodes': M, 'quad_type': 'RADAU-RIGHT', 'QI': 'LU'})
 
-    # k sweeps fused into one XLA program via the diagonal-basis multi-sweep
-    # fast path (ops/diag_sdc.py): one transform in, k elementwise sweeps,
-    # one transform out — gated against looped update_nodes in
-    # tests/test_diag_sdc.py, so this is the same math the reference loops
-    # through scipy splu solves (generic_implicit.py:51-103)
+    @jax.jit
+    def one_sweep(state, t, dt):
+        new = sweep.update_nodes(prob, state, t, dt, 0)
+        _, res = sweep.compute_residual(new, dt)
+        return new, res
+
+    dt = jnp.asarray(0.01, jnp.float32)
+    t = jnp.asarray(0.0, jnp.float32)
+    state = sweep.predict(prob, prob.u_exact(0.0), t, dt, 0.0)
+
+    state, res = one_sweep(state, t, dt)
+    float(res)  # full sync; block_until_ready is unreliable on the axon tunnel
+
+    start = time.perf_counter()
+    for _ in range(reps):
+        for _ in range(n_sweeps):
+            state, res = one_sweep(state, t, dt)
+    float(res)
+    elapsed = time.perf_counter() - start
+
+    nnz_per_dof = 2 * 2 + 1  # assembled 5-point Laplacian
+    nnz_per_sweep = M * nnz_per_dof * n * n
+    return nnz_per_sweep * n_sweeps * reps / elapsed, float(res)
+
+
+def bench_tpu_fused(n=2048, M=4, k_inner=10, reps=4):
+    """Linear fast path: k sweeps fused into one XLA program via the
+    diagonal-basis multi-sweep (ops/diag_sdc.py), gated against looped
+    update_nodes in tests/test_diag_sdc.py."""
+    import jax
+    import jax.numpy as jnp
+
+    from pysdc_tpu.models.heat import HeatND
+    from pysdc_tpu.sweepers.generic_implicit import GenericImplicit
+
+    prob = HeatND(nvars=(n, n), nu=0.1, freq=2, bc='periodic', dtype=jnp.float32)
+    sweep = GenericImplicit({'num_nodes': M, 'quad_type': 'RADAU-RIGHT', 'QI': 'LU'})
+
     @jax.jit
     def k_sweeps(state, t, dt):
         state = sweep.update_nodes_k(prob, state, t, dt, k_inner)
@@ -47,23 +108,196 @@ def bench_tpu(n=2048, M=4, k_inner=10, reps=4):
     state = sweep.predict(prob, prob.u_exact(0.0), t, dt, 0.0)
 
     state, res = k_sweeps(state, t, dt)
-    float(res)  # full sync; block_until_ready is unreliable on the axon tunnel
+    float(res)
 
     start = time.perf_counter()
     for _ in range(reps):
         state, res = k_sweeps(state, t, dt)
-    float(res)  # forces the whole chain to complete before we stop the clock
+    float(res)
     elapsed = time.perf_counter() - start
 
-    # count assembled-matrix nonzeros (center coefficients merged), matching
-    # the scipy CSR accounting: 2*ndim + 1 for the 2nd-order Laplacian
     nnz_per_dof = 2 * 2 + 1
     nnz_per_sweep = M * nnz_per_dof * n * n
-    return nnz_per_sweep * k_inner * reps / elapsed, float(res)
+    return nnz_per_sweep * k_inner * reps / elapsed
 
 
-def bench_scipy_reference(n=512, M=4, iters=5):
-    """Reference-equivalent sweep: CSR SpMV + splu triangular solves."""
+def bench_tpu_allen_cahn(n=1024, M=4, n_sweeps=10, reps=3):
+    """Nonlinear BASELINE config: 2D Allen-Cahn, semi-implicit IMEX SDC
+    (BASELINE.json config 3; reference AllenCahn_2D_FD / allencahn_imex)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pysdc_tpu.models.allen_cahn import AllenCahnPeriodicSemiImplicitND
+    from pysdc_tpu.sweepers.imex import IMEXSweeper
+
+    prob = AllenCahnPeriodicSemiImplicitND(nvars=(n, n), eps=0.04, radius=0.25, dtype=jnp.float32)
+    sweep = IMEXSweeper({'num_nodes': M, 'quad_type': 'RADAU-RIGHT', 'QI': 'LU', 'QE': 'EE'})
+
+    @jax.jit
+    def one_sweep(state, t, dt):
+        new = sweep.update_nodes(prob, state, t, dt, 0)
+        _, res = sweep.compute_residual(new, dt)
+        return new, res
+
+    dt = jnp.asarray(1e-4, jnp.float32)
+    t = jnp.asarray(0.0, jnp.float32)
+    state = sweep.predict(prob, prob.u_exact(0.0), t, dt, 0.0)
+
+    state, res = one_sweep(state, t, dt)
+    float(res)
+
+    start = time.perf_counter()
+    for _ in range(reps):
+        for _ in range(n_sweeps):
+            state, res = one_sweep(state, t, dt)
+    float(res)
+    elapsed = time.perf_counter() - start
+
+    nnz_per_dof = 2 * 2 + 1
+    nnz_per_sweep = M * nnz_per_dof * n * n
+    return nnz_per_sweep * n_sweeps * reps / elapsed, float(res)
+
+
+def bench_stencil_roofline(n=2048, nb=4, reps=50):
+    """Achieved HBM bandwidth of the Pallas stencil apply (the hot eval_f)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pysdc_tpu.models.heat import HeatND
+
+    prob = HeatND(nvars=(n, n), nu=0.1, freq=2, bc='periodic', dtype=jnp.float32)
+    u = jnp.asarray(np.random.default_rng(0).standard_normal((nb, n, n)), jnp.float32)
+    ap = jax.jit(prob.A.apply)
+    out = ap(u)
+    float(jnp.sum(out))
+    start = time.perf_counter()
+    for _ in range(reps):
+        out = ap(out)
+    float(jnp.sum(out))
+    per_apply = (time.perf_counter() - start) / reps
+    bytes_min = 2 * nb * n * n * 4  # one read + one write of the field
+    gbps = bytes_min / per_apply / 1e9
+    return gbps, gbps / HBM_PEAK_GBPS
+
+
+def bench_pfasst_speedup_projected(P=8, n=512, n_coarse=256):
+    """PFASST speedup vs serial SDC, projected from real-TPU wall clock.
+
+    The virtual block controller executes all P ranks' kernels sequentially
+    on one chip with the exact PFASST schedule (stage machine, FAS, burn-in);
+    in a P-chip run each rank executes 1/P of that work in lockstep, so
+    T_parallel ~= T_block / P (comm-free projection; the sharded controller
+    with real collectives is measured separately on the emulated mesh)."""
+    import jax.numpy as jnp
+
+    from pysdc_tpu.models.heat import HeatND
+    from pysdc_tpu.parallel.nonmpi import ControllerNonMPI
+    from pysdc_tpu.sweepers.generic_implicit import GenericImplicit
+
+    dt = 0.05
+    desc = dict(
+        problem_class=HeatND,
+        problem_params=dict(nu=0.1, freq=2, nvars=[(n, n), (n_coarse, n_coarse)], bc='periodic',
+                            dtype=jnp.float32),
+        sweeper_class=GenericImplicit,
+        sweeper_params=dict(quad_type='RADAU-RIGHT', num_nodes=[3], QI='LU'),
+        level_params=dict(restol=1e-7, dt=dt),
+        step_params=dict(maxiter=50),
+        space_transfer_params=dict(rorder=2, iorder=6, periodic=True),
+    )
+    cp = {'logger_level': 40, 'predict_type': 'pfasst_burnin'}
+    Tend = P * dt
+
+    from pysdc_tpu.utils.stats import get_sorted
+
+    desc_serial = {**desc, 'problem_params': dict(desc['problem_params'])}
+    desc_serial['problem_params']['nvars'] = (n, n)  # serial SDC: single level
+    serial = ControllerNonMPI(1, {'logger_level': 40}, desc_serial)
+    prob = serial.MS[0].levels[0].prob
+    u0 = prob.u_exact(0.0)
+    serial.run(u0, 0.0, Tend)  # warm (compiles)
+    start = time.perf_counter()
+    _, s_ser = serial.run(u0, 0.0, Tend)
+    t_serial = time.perf_counter() - start
+    it_serial = [v for _, v in get_sorted(s_ser, type='niter')]
+
+    block = ControllerNonMPI(P, cp, desc)
+    block.run(u0, 0.0, Tend)  # warm
+    start = time.perf_counter()
+    _, s_blk = block.run(u0, 0.0, Tend)
+    t_block = time.perf_counter() - start
+    it_block = [v for _, v in get_sorted(s_blk, type='niter')]
+
+    speedup = t_serial / (t_block / P)
+    return dict(
+        speedup=round(speedup, 2),
+        efficiency=round(speedup / P, 3),
+        t_serial_s=round(t_serial, 3),
+        t_block_s=round(t_block, 3),
+        niter_serial=sum(it_serial),
+        niter_pfasst=it_block,
+        P=P,
+    )
+
+
+def bench_pfasst_speedup_cpu_mesh():
+    """Measured end-to-end PFASST speedup on an 8-device emulated mesh
+    (real ppermute/psum collectives), run in a subprocess so the TPU process
+    keeps its platform.  Returns None if the subprocess fails."""
+    code = r'''
+import os, json, time
+os.environ['JAX_PLATFORMS'] = 'cpu'
+os.environ['XLA_FLAGS'] = os.environ.get('XLA_FLAGS', '') + ' --xla_force_host_platform_device_count=8'
+import jax
+jax.config.update('jax_platforms', 'cpu')
+from pysdc_tpu.models.heat import HeatND
+from pysdc_tpu.parallel.mesh import make_mesh
+from pysdc_tpu.parallel.nonmpi import ControllerNonMPI
+from pysdc_tpu.parallel.sharded import ShardedController
+from pysdc_tpu.sweepers.generic_implicit import GenericImplicit
+
+P, dt = 8, 0.05
+desc = dict(
+    problem_class=HeatND,
+    problem_params=dict(nu=0.1, freq=2, nvars=[(128, 128), (64, 64)], bc='periodic'),
+    sweeper_class=GenericImplicit,
+    sweeper_params=dict(quad_type='RADAU-RIGHT', num_nodes=[3], QI='LU'),
+    level_params=dict(restol=1e-7, dt=dt),
+    step_params=dict(maxiter=50),
+    space_transfer_params=dict(rorder=2, iorder=6, periodic=True),
+)
+cp = {'logger_level': 40, 'predict_type': 'pfasst_burnin'}
+Tend = P * dt
+
+desc_serial = {**desc, 'problem_params': {**desc['problem_params'], 'nvars': (128, 128)}}
+serial = ControllerNonMPI(1, {'logger_level': 40}, desc_serial)
+u0 = serial.MS[0].levels[0].prob.u_exact(0.0)
+serial.run(u0, 0.0, Tend)
+t0 = time.perf_counter(); serial.run(u0, 0.0, Tend); t_serial = time.perf_counter() - t0
+
+mesh = make_mesh(n_time=P, n_space=1)
+sh = ShardedController(P, cp, desc, mesh=mesh)
+sh.run(u0, 0.0, Tend)
+t0 = time.perf_counter(); sh.run(u0, 0.0, Tend); t_sharded = time.perf_counter() - t0
+print(json.dumps(dict(speedup=round(t_serial / t_sharded, 2),
+                      t_serial_s=round(t_serial, 3), t_sharded_s=round(t_sharded, 3))))
+'''
+    env = dict(os.environ)
+    env.pop('JAX_PLATFORMS', None)
+    try:
+        out = subprocess.run(
+            [sys.executable, '-c', code], capture_output=True, text=True, timeout=900,
+            cwd=os.path.dirname(os.path.abspath(__file__)), env=env,
+        )
+        line = out.stdout.strip().splitlines()[-1]
+        return json.loads(line)
+    except Exception:
+        return None
+
+
+def bench_scipy_reference(n=1024, M=4, iters=5):
+    """Reference-equivalent sweep: CSR SpMV + splu triangular solves at the
+    SAME grid size as the matched TPU measurement."""
     import scipy.sparse as sp
     import scipy.sparse.linalg as spla
 
@@ -127,13 +361,33 @@ def bench_scipy_reference(n=512, M=4, iters=5):
 
 
 def main():
-    tpu_nnz_s, res = bench_tpu()
-    ref_nnz_s = bench_scipy_reference()
+    _setup_jax_cache()
+    matched_n = 1024
+
+    general_nnz_s, res = bench_tpu_general(n=2048)
+    general_matched, _ = bench_tpu_general(n=matched_n)
+    fused_nnz_s = bench_tpu_fused(n=2048)
+    ac_nnz_s, ac_res = bench_tpu_allen_cahn(n=1024)
+    gbps, peak_frac = bench_stencil_roofline(n=2048)
+    pfasst = bench_pfasst_speedup_projected()
+    pfasst_mesh = bench_pfasst_speedup_cpu_mesh()
+    ref_nnz_s = bench_scipy_reference(n=matched_n)
+
     result = {
-        'metric': 'nnz/s per chip in SDC sweeps (2D heat, M=4, LU)',
-        'value': round(tpu_nnz_s / 1e9, 3),
+        'metric': f'nnz/s per chip, general SDC sweep loop (2D heat 2048^2, M=4, LU); vs_baseline = scipy splu at matched {matched_n}^2',
+        'value': round(general_nnz_s / 1e9, 3),
         'unit': 'Gnnz/s',
-        'vs_baseline': round(tpu_nnz_s / ref_nnz_s, 2),
+        'vs_baseline': round(general_matched / ref_nnz_s, 2),
+        'extras': {
+            'general_matched_gnnz_s': round(general_matched / 1e9, 3),
+            'scipy_matched_gnnz_s': round(ref_nnz_s / 1e9, 3),
+            'fused_linear_path_gnnz_s': round(fused_nnz_s / 1e9, 3),
+            'allen_cahn_2d_imex_1024_gnnz_s': round(ac_nnz_s / 1e9, 3),
+            'stencil_apply_gbps': round(gbps, 1),
+            'stencil_hbm_peak_frac': round(peak_frac, 3),
+            'pfasst_speedup_projected': pfasst,
+            'pfasst_speedup_cpu_mesh_8dev': pfasst_mesh,
+        },
     }
     print(json.dumps(result))
 

@@ -89,7 +89,25 @@ def _cross2d_kernel(up_ref, out_ref, tile_vmem, sem, *, terms, rx, ry, tx, ty, w
     out_ref[0] = acc
 
 
-@functools.partial(jax.jit, static_argnames=('terms', 'interpret'))
+@functools.lru_cache(maxsize=None)
+def _cross_stencil_fn(terms, interpret):
+    """Build the (vmap-capable) stencil function for one static tap table.
+
+    ``pallas_call`` cannot be vmapped with an ANY-memory-space operand, but
+    the kernel already supports arbitrary leading batch axes — so the vmap
+    rule simply feeds the batch axis through as one more leading axis."""
+
+    @jax.custom_batching.custom_vmap
+    def f(u):
+        return _cross_stencil_impl(u, terms, interpret)
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, u):  # noqa: ARG001
+        return f(u), in_batched[0]
+
+    return jax.jit(f)
+
+
 def cross_stencil_2d(u, terms, interpret: bool | None = None):
     """Arbitrary-offset periodic cross stencil on the trailing two axes.
 
@@ -109,6 +127,10 @@ def cross_stencil_2d(u, terms, interpret: bool | None = None):
     """
     if interpret is None:
         interpret = not _on_tpu()
+    return _cross_stencil_fn(terms, interpret)(u)
+
+
+def _cross_stencil_impl(u, terms, interpret):
     nx, ny = u.shape[-2:]
     batch_shape = u.shape[:-2]
     ub = u.reshape((-1, nx, ny))
