@@ -11,8 +11,10 @@ Counterpart of the reference ``RayleighBenard``
 on [0, Lx) x [z0, z0+Lz], FFT in x, ultraspherical in z, Dirichlet plates,
 pressure gauge via an integral tau line.  The stiff linear part (viscosity,
 pressure, buoyancy, incompressibility) is implicit; convection is explicit
-with 3/2 dealiasing.  Implicit solves are batched per-Fourier-mode dense
-solves (see ops/spectral.py) — the whole IMEX substep is one XLA program.
+with 3/2 dealiasing.  The whole linear system is a pure declaration on the
+generic tensor-product layer (ops/spectral.py): basis conversion, tau
+lines and the batched per-Fourier-mode dense solves all live there — the
+whole IMEX substep is one XLA program.
 """
 
 from __future__ import annotations
@@ -22,7 +24,7 @@ import numpy as np
 
 from pysdc_tpu.core.problem import Problem, WorkCounter
 from pysdc_tpu.core.state import IMEX
-from pysdc_tpu.ops.spectral import FourierBase1D, SpectralLinearProblemBase, UltrasphericalBase1D
+from pysdc_tpu.ops.spectral import FourierBase1D, TensorProductSpectral, UltrasphericalBase1D
 
 
 class RayleighBenard(Problem):
@@ -39,109 +41,70 @@ class RayleighBenard(Problem):
         self._register(Prandtl=Prandtl, Rayleigh=Rayleigh, nx=nx, nz=nz, BCs=BCs,
                        dealiasing=dealiasing, Lx=Lx, Lz=Lz, z0=z0)
 
-        xb = FourierBase1D(nx, 0.0, Lx)
-        zb = UltrasphericalBase1D(nz, z0, z0 + Lz)
-        self.xb, self.zb = xb, zb
-        spec = SpectralLinearProblemBase(['u', 'v', 'T', 'p'], xb, zb)
-        self.spec = spec
-
         # rescaled Rayleigh number -> diffusivities (reference :143-146)
         Ra = Rayleigh / (max(abs(BCs['T_top'] - BCs['T_bottom']), np.finfo(float).eps) * Lz**3)
         self.kappa = (Ra * Prandtl) ** (-0.5)
         self.nu = (Ra / Prandtl) ** (-0.5)
 
-        D1, D2 = zb.diff_matrix(1), zb.diff_matrix(2)
-        U01 = zb.conv_matrix(0, 1)
-        U12 = zb.conv_matrix(1, 2)
-        U02 = zb.conv_matrix(0, 2)
-        Id = np.eye(nz)
+        spec = TensorProductSpectral()
+        self.xb = spec.add_axis('x', FourierBase1D(nx, 0.0, Lx))
+        self.zb = spec.add_axis('z', UltrasphericalBase1D(nz, z0, z0 + Lz))
+        spec.add_component('u', 'v', 'T', 'p')
 
-        spec.set_L({
-            'p': {'u': [(1, U01)], 'v': [(0, D1)]},  # divergence-free constraint
-            'u': {'p': [(1, U02)], 'u': [(2, -self.nu * U02), (0, -self.nu * D2)]},
-            'v': {'p': [(0, U12 @ D1)], 'v': [(2, -self.nu * U02), (0, -self.nu * D2)], 'T': [(0, -U02)]},
-            'T': {'T': [(2, -self.kappa * U02), (0, -self.kappa * D2)]},
-        })
-        spec.set_M({c: {c: [(0, U02)]} for c in ['u', 'v', 'T']})
+        # divergence-free constraint in the 'p' row
+        spec.add_L_term('p', 'u', derivs={'x': 1})
+        spec.add_L_term('p', 'v', derivs={'z': 1})
+        # momentum and temperature rows: pressure gradient, diffusion, buoyancy
+        for comp, diffusivity in (('u', self.nu), ('v', self.nu), ('T', self.kappa)):
+            spec.add_L_term(comp, comp, coeff=-diffusivity, derivs={'x': 2})
+            spec.add_L_term(comp, comp, coeff=-diffusivity, derivs={'z': 2})
+            spec.add_M_term(comp, comp)
+        spec.add_L_term('u', 'p', derivs={'x': 1})
+        spec.add_L_term('v', 'p', derivs={'z': 1})
+        spec.add_L_term('v', 'T', coeff=-1.0)
 
         z_top, z_bot = z0 + Lz, z0
-        spec.add_BC('p', 'p', zb.integral_row(), BCs['p_integral'], line=-1, zero_only=True)
-        spec.add_BC('T', 'T', zb.dirichlet_row(z_bot), BCs['T_bottom'], line=-1)
-        spec.add_BC('T', 'T', zb.dirichlet_row(z_top), BCs['T_top'], line=-2)
-        spec.add_BC('v', 'v', zb.dirichlet_row(z_top), BCs['v_top'], line=-1)
+        spec.add_BC('p', 'p', axis='z', kind='integral', v=BCs['p_integral'], line=-1, scalar=True)
+        spec.add_BC('T', 'T', axis='z', kind='dirichlet', x=z_bot, v=BCs['T_bottom'], line=-1)
+        spec.add_BC('T', 'T', axis='z', kind='dirichlet', x=z_top, v=BCs['T_top'], line=-2)
+        spec.add_BC('v', 'v', axis='z', kind='dirichlet', x=z_top, v=BCs['v_top'], line=-1)
         # the v-bottom condition is redundant at kx=0 (divergence + v_top
         # pin v there); reference adds it then removes the kx=0 copy
-        spec.add_BC('v', 'v', zb.dirichlet_row(z_bot), BCs['v_bottom'], line=-2, not_at_zero=True)
-        spec.add_BC('u', 'u', zb.dirichlet_row(z_top), BCs['u_top'], line=-2)
-        spec.add_BC('u', 'u', zb.dirichlet_row(z_bot), BCs['u_bottom'], line=-1)
-        spec.setup_operators()
+        spec.add_BC('v', 'v', axis='z', kind='dirichlet', x=z_bot, v=BCs['v_bottom'], line=-2,
+                    skip_scalar=True)
+        spec.add_BC('u', 'u', axis='z', kind='dirichlet', x=z_top, v=BCs['u_top'], line=-2)
+        spec.add_BC('u', 'u', axis='z', kind='dirichlet', x=z_bot, v=BCs['u_bottom'], line=-1)
+        self.spec = spec.setup()
 
-        # base changes back to T coefficients per equation row
-        self._S2_inv = np.linalg.inv(U02)
-        self._S1_inv = np.linalg.inv(U01)
-        # T-space first derivative for convection terms
-        self._Dz_T = self._S1_inv @ D1
-
-        # padded Chebyshev transforms for dealiasing
-        self._z_pad_bwd = zb.padded_itransform_matrix(dealiasing)
-        self._z_pad_fwd = zb.padded_transform_matrix(dealiasing)
-
+        # T-space first derivative for convection terms and diagnostics
+        self._Dz_T = self.zb.deriv_natural(1)
         self.work_counters['rhs'] = WorkCounter()
 
     # -- grids ----------------------------------------------------------
     @property
     def X(self):
-        return jnp.meshgrid(jnp.asarray(self.xb.nodes), jnp.asarray(self.zb.nodes), indexing='ij')[0]
+        return jnp.asarray(self.spec.grids()[0])
 
     @property
     def Z(self):
-        return jnp.meshgrid(jnp.asarray(self.xb.nodes), jnp.asarray(self.zb.nodes), indexing='ij')[1]
-
-    # -- dealiased products ---------------------------------------------
-    def _pad_to_real(self, u_hat):
-        """coefficients (C, nx, nz) -> padded real grid (C, Nxp, Nzp)."""
-        pad = self.dealiasing
-        u_hat = self.xb.pad(u_hat, axis=1, factor=pad)
-        u_hat = self.zb.pad(u_hat, axis=2, factor=pad)
-        u = jnp.tensordot(jnp.asarray(self._z_pad_bwd, u_hat.dtype), u_hat, axes=(1, 2)).transpose(1, 2, 0)
-        u = jnp.fft.ifft(u, axis=1, norm='forward')
-        return jnp.real(u)
-
-    def _real_to_unpad(self, u_pad):
-        pad = self.dealiasing
-        u_hat = jnp.fft.fft(u_pad.astype(complex), axis=1, norm='forward')
-        u_hat = jnp.tensordot(jnp.asarray(self._z_pad_fwd, u_hat.dtype), u_hat, axes=(1, 2)).transpose(1, 2, 0)
-        u_hat = self.xb.unpad(u_hat, axis=1, factor=pad)
-        return u_hat[:, :, : self.nz]
+        return jnp.asarray(self.spec.grids()[1])
 
     # -- protocol --------------------------------------------------------
     def eval_f(self, u, t):
         self.work_counters['rhs']()
         spec = self.spec
         u_hat = spec.transform(u)
-
-        # implicit part: -L u, transformed back to the T basis per equation
-        Lu = spec.apply_operator(spec.L_all, u_hat)
-        S2i = jnp.asarray(self._S2_inv, Lu.dtype)
-        S1i = jnp.asarray(self._S1_inv, Lu.dtype)
-        base = jnp.stack(
-            [
-                jnp.tensordot(S2i, Lu[0], axes=(1, 1)).T,
-                jnp.tensordot(S2i, Lu[1], axes=(1, 1)).T,
-                jnp.tensordot(S2i, Lu[2], axes=(1, 1)).T,
-                jnp.tensordot(S1i, Lu[3], axes=(1, 1)).T,
-            ]
-        )
-        impl = -spec.itransform(base)
+        impl = -spec.apply_L(u)
 
         # explicit part: dealiased convection
         kx = jnp.asarray(self.xb.k)
         Dx_u_hat = u_hat * (1j * kx)[None, :, None]
-        Dz_u_hat = jnp.tensordot(jnp.asarray(self._Dz_T, u_hat.dtype), u_hat, axes=(1, 2)).transpose(1, 2, 0)
+        Dz_u_hat = spec.apply_axis_matrix(self._Dz_T, u_hat, 'z')
 
-        u_pad = self._pad_to_real(u_hat)
-        Dx_pad = self._pad_to_real(Dx_u_hat)
-        Dz_pad = self._pad_to_real(Dz_u_hat)
+        pad = self.dealiasing
+        u_pad = spec.pad_to_real(u_hat, pad)
+        Dx_pad = spec.pad_to_real(Dx_u_hat, pad)
+        Dz_pad = spec.pad_to_real(Dz_u_hat, pad)
 
         iu, iv, iT = 0, 1, 2
         conv = jnp.stack(
@@ -152,8 +115,7 @@ class RayleighBenard(Problem):
                 jnp.zeros_like(u_pad[0]),
             ]
         )
-        expl_hat = self._real_to_unpad(conv)
-        expl = spec.itransform(expl_hat)
+        expl = spec.itransform(spec.real_to_unpad(conv, pad))
         return IMEX(impl=impl, expl=expl)
 
     def solve_system(self, rhs, factor, u0, t):
@@ -250,75 +212,49 @@ class RayleighBenard3D(Problem):
         self._register(Prandtl=Prandtl, Rayleigh=Rayleigh, nx=nx, ny=ny, nz=nz,
                        BCs=BCs, dealiasing=dealiasing, Lx=Lx, Ly=Ly, Lz=Lz, z0=z0)
 
-        xb = FourierBase1D(nx, 0.0, Lx)
-        yb = FourierBase1D(ny, 0.0, Ly)
-        zb = UltrasphericalBase1D(nz, z0, z0 + Lz)
-        self.xb, self.yb, self.zb = xb, yb, zb
-        spec = SpectralLinearProblemBase(['u', 'v', 'w', 'T', 'p'], xb, zb, y_base=yb)
-        self.spec = spec
-
         Ra = Rayleigh / (max(abs(BCs['T_top'] - BCs['T_bottom']), np.finfo(float).eps) * Lz**3)
         self.kappa = (Ra * Prandtl) ** (-0.5)
         self.nu = (Ra / Prandtl) ** (-0.5)
 
-        D1, D2 = zb.diff_matrix(1), zb.diff_matrix(2)
-        U01 = zb.conv_matrix(0, 1)
-        U12 = zb.conv_matrix(1, 2)
-        U02 = zb.conv_matrix(0, 2)
+        spec = TensorProductSpectral()
+        self.xb = spec.add_axis('x', FourierBase1D(nx, 0.0, Lx))
+        self.yb = spec.add_axis('y', FourierBase1D(ny, 0.0, Ly))
+        self.zb = spec.add_axis('z', UltrasphericalBase1D(nz, z0, z0 + Lz))
+        spec.add_component('u', 'v', 'w', 'T', 'p')
 
-        visc = lambda coef: [(2, 0, -coef * U02), (0, 2, -coef * U02), (0, 0, -coef * D2)]
-        spec.set_L({
-            'p': {'u': [(1, 0, U01)], 'v': [(0, 1, U01)], 'w': [(0, 0, D1)]},
-            'u': {'p': [(1, 0, U02)], 'u': visc(self.nu)},
-            'v': {'p': [(0, 1, U02)], 'v': visc(self.nu)},
-            'w': {'p': [(0, 0, U12 @ D1)], 'w': visc(self.nu), 'T': [(0, 0, -U02)]},
-            'T': {'T': visc(self.kappa)},
-        })
-        spec.set_M({c: {c: [(0, 0, U02)]} for c in ['u', 'v', 'w', 'T']})
+        spec.add_L_term('p', 'u', derivs={'x': 1})
+        spec.add_L_term('p', 'v', derivs={'y': 1})
+        spec.add_L_term('p', 'w', derivs={'z': 1})
+        for comp, diffusivity in (('u', self.nu), ('v', self.nu), ('w', self.nu),
+                                  ('T', self.kappa)):
+            for ax in ('x', 'y', 'z'):
+                spec.add_L_term(comp, comp, coeff=-diffusivity, derivs={ax: 2})
+            spec.add_M_term(comp, comp)
+        spec.add_L_term('u', 'p', derivs={'x': 1})
+        spec.add_L_term('v', 'p', derivs={'y': 1})
+        spec.add_L_term('w', 'p', derivs={'z': 1})
+        spec.add_L_term('w', 'T', coeff=-1.0)
 
         z_top, z_bot = z0 + Lz, z0
-        spec.add_BC('p', 'p', zb.integral_row(), BCs['p_integral'], line=-1, zero_only=True)
-        spec.add_BC('T', 'T', zb.dirichlet_row(z_bot), BCs['T_bottom'], line=-1)
-        spec.add_BC('T', 'T', zb.dirichlet_row(z_top), BCs['T_top'], line=-2)
-        spec.add_BC('w', 'w', zb.dirichlet_row(z_top), BCs['w_top'], line=-1)
-        spec.add_BC('w', 'w', zb.dirichlet_row(z_bot), BCs['w_bottom'], line=-2, not_at_zero=True)
-        spec.add_BC('u', 'u', zb.dirichlet_row(z_top), BCs['u_top'], line=-2)
-        spec.add_BC('u', 'u', zb.dirichlet_row(z_bot), BCs['u_bottom'], line=-1)
-        spec.add_BC('v', 'v', zb.dirichlet_row(z_top), BCs['v_top'], line=-2)
-        spec.add_BC('v', 'v', zb.dirichlet_row(z_bot), BCs['v_bottom'], line=-1)
-        spec.setup_operators()
+        spec.add_BC('p', 'p', axis='z', kind='integral', v=BCs['p_integral'], line=-1, scalar=True)
+        spec.add_BC('T', 'T', axis='z', kind='dirichlet', x=z_bot, v=BCs['T_bottom'], line=-1)
+        spec.add_BC('T', 'T', axis='z', kind='dirichlet', x=z_top, v=BCs['T_top'], line=-2)
+        spec.add_BC('w', 'w', axis='z', kind='dirichlet', x=z_top, v=BCs['w_top'], line=-1)
+        spec.add_BC('w', 'w', axis='z', kind='dirichlet', x=z_bot, v=BCs['w_bottom'], line=-2,
+                    skip_scalar=True)
+        spec.add_BC('u', 'u', axis='z', kind='dirichlet', x=z_top, v=BCs['u_top'], line=-2)
+        spec.add_BC('u', 'u', axis='z', kind='dirichlet', x=z_bot, v=BCs['u_bottom'], line=-1)
+        spec.add_BC('v', 'v', axis='z', kind='dirichlet', x=z_top, v=BCs['v_top'], line=-2)
+        spec.add_BC('v', 'v', axis='z', kind='dirichlet', x=z_bot, v=BCs['v_bottom'], line=-1)
+        self.spec = spec.setup()
 
-        self._S2_inv = np.linalg.inv(U02)
-        self._S1_inv = np.linalg.inv(U01)
-        self._Dz_T = self._S1_inv @ D1
-        self._z_pad_bwd = zb.padded_itransform_matrix(dealiasing)
-        self._z_pad_fwd = zb.padded_transform_matrix(dealiasing)
+        self._Dz_T = self.zb.deriv_natural(1)
         self.work_counters['rhs'] = WorkCounter()
 
     @property
     def Z(self):
         z = jnp.asarray(self.zb.nodes)
         return jnp.broadcast_to(z[None, None, :], (self.nx, self.ny, self.nz))
-
-    # -- dealiased products ---------------------------------------------
-    def _pad_to_real(self, u_hat):
-        pad = self.dealiasing
-        u_hat = self.xb.pad(u_hat, axis=1, factor=pad)
-        u_hat = self.yb.pad(u_hat, axis=2, factor=pad)
-        u_hat = self.zb.pad(u_hat, axis=3, factor=pad)
-        u = jnp.tensordot(jnp.asarray(self._z_pad_bwd, u_hat.dtype), u_hat, axes=(1, 3)).transpose(1, 2, 3, 0)
-        u = jnp.fft.ifft(u, axis=1, norm='forward')
-        u = jnp.fft.ifft(u, axis=2, norm='forward')
-        return jnp.real(u)
-
-    def _real_to_unpad(self, u_pad):
-        pad = self.dealiasing
-        u_hat = jnp.fft.fft(u_pad.astype(complex), axis=1, norm='forward')
-        u_hat = jnp.fft.fft(u_hat, axis=2, norm='forward')
-        u_hat = jnp.tensordot(jnp.asarray(self._z_pad_fwd, u_hat.dtype), u_hat, axes=(1, 3)).transpose(1, 2, 3, 0)
-        u_hat = self.xb.unpad(u_hat, axis=1, factor=pad)
-        u_hat = self.yb.unpad(u_hat, axis=2, factor=pad)
-        return u_hat[..., : self.nz]
 
     def _dz(self, u_hat):
         return jnp.tensordot(jnp.asarray(self._Dz_T, u_hat.dtype), u_hat, axes=(1, u_hat.ndim - 1)).transpose(
@@ -331,16 +267,7 @@ class RayleighBenard3D(Problem):
         spec = self.spec
         u_hat = spec.transform(u)
 
-        Lu = spec.apply_operator(spec.L_all, u_hat)
-        S2i = jnp.asarray(self._S2_inv, Lu.dtype)
-        S1i = jnp.asarray(self._S1_inv, Lu.dtype)
-
-        def back(mat, comp):
-            return jnp.tensordot(mat, comp, axes=(1, 2)).transpose(1, 2, 0)
-
-        base = jnp.stack([back(S2i, Lu[0]), back(S2i, Lu[1]), back(S2i, Lu[2]),
-                          back(S2i, Lu[3]), back(S1i, Lu[4])])
-        impl = -spec.itransform(base)
+        impl = -spec.apply_L(u)
         impl = impl.at[4].set(0.0)  # divergence row carries no dynamics
 
         kx = jnp.asarray(self.xb.k)
@@ -349,15 +276,16 @@ class RayleighBenard3D(Problem):
         Dy_hat = u_hat * (1j * ky)[None, None, :, None]
         Dz_hat = self._dz(u_hat)
 
-        u_pad = self._pad_to_real(u_hat)
-        Dx_pad = self._pad_to_real(Dx_hat)
-        Dy_pad = self._pad_to_real(Dy_hat)
-        Dz_pad = self._pad_to_real(Dz_hat)
+        pad = self.dealiasing
+        u_pad = spec.pad_to_real(u_hat, pad)
+        Dx_pad = spec.pad_to_real(Dx_hat, pad)
+        Dy_pad = spec.pad_to_real(Dy_hat, pad)
+        Dz_pad = spec.pad_to_real(Dz_hat, pad)
 
         iu, iv, iw, iT = 0, 1, 2, 3
         adv = lambda c: -(u_pad[iu] * Dx_pad[c] + u_pad[iv] * Dy_pad[c] + u_pad[iw] * Dz_pad[c])
         conv = jnp.stack([adv(iu), adv(iv), adv(iw), adv(iT), jnp.zeros_like(u_pad[0])])
-        expl = spec.itransform(self._real_to_unpad(conv))
+        expl = spec.itransform(spec.real_to_unpad(conv, pad))
         return IMEX(impl=impl, expl=expl)
 
     def solve_system(self, rhs, factor, u0, t):

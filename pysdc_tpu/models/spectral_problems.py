@@ -1,7 +1,10 @@
-"""Spectral (Chebyshev/ultraspherical) problems: 1D heat, Burgers.
+"""Spectral (Chebyshev/ultraspherical) problems: 1D heat, Burgers, and a
+fully non-periodic 2D heat equation.
 
 Counterparts of the reference ``HeatEquation_Chebychev.py`` and
-``Burgers.py`` on the TPU-native spectral layer (``ops/spectral.py``).
+``Burgers.py`` on the generic tensor-product spectral layer
+(``ops/spectral.py``).  Every problem here is a pure declaration — the
+engine handles basis conversion, tau lines and the batched solves.
 """
 
 from __future__ import annotations
@@ -11,27 +14,24 @@ import numpy as np
 
 from pysdc_tpu.core.problem import Problem, WorkCounter
 from pysdc_tpu.core.state import IMEX
-from pysdc_tpu.ops.spectral import SpectralLinearProblemBase, UltrasphericalBase1D
+from pysdc_tpu.ops.spectral import TensorProductSpectral, UltrasphericalBase1D
 
 
 class HeatChebyshev1D(Problem):
-    """u_t = nu u_xx + f with Dirichlet BCs via the ultraspherical method
-    (reference HeatEquation_Chebychev.py).  State shape: (1, 1, nz)."""
+    """u_t = nu u_xx with Dirichlet BCs via the ultraspherical method
+    (reference HeatEquation_Chebychev.py).  State shape: (1, nvars)."""
 
     def __init__(self, nvars=64, nu=1.0, a=0.0, b=0.0, freq=1, dtype=None):
-        super().__init__(shape=(1, 1, nvars), dtype=dtype)
+        super().__init__(shape=(1, nvars), dtype=dtype)
         self._register(nvars=nvars, nu=nu, a=a, b=b, freq=freq)
-        z = UltrasphericalBase1D(nvars, -1.0, 1.0)
-        self.zb = z
-        self.spec = SpectralLinearProblemBase(['u'], None, z)
-        U02 = z.conv_matrix(0, 2)
-        self.spec.set_L({'u': {'u': [(0, -nu * z.diff_matrix(2))]}})
-        self.spec.set_M({'u': {'u': [(0, U02)]}})
-        self.spec.add_BC('u', 'u', z.dirichlet_row(-1.0), a, line=-2)
-        self.spec.add_BC('u', 'u', z.dirichlet_row(1.0), b, line=-1)
-        self.spec.setup_operators()
-        # base change C^(2) -> T for evaluating L u in real space
-        self._S2_inv = np.linalg.inv(U02)
+        spec = TensorProductSpectral()
+        self.zb = spec.add_axis('z', UltrasphericalBase1D(nvars, -1.0, 1.0))
+        spec.add_component('u')
+        spec.add_L_term('u', 'u', coeff=-nu, derivs={'z': 2})
+        spec.add_M_term('u', 'u')
+        spec.add_BC('u', 'u', axis='z', kind='dirichlet', x=-1.0, v=a, line=-2)
+        spec.add_BC('u', 'u', axis='z', kind='dirichlet', x=1.0, v=b, line=-1)
+        self.spec = spec.setup()
         self.work_counters['rhs'] = WorkCounter()
 
     @property
@@ -40,10 +40,7 @@ class HeatChebyshev1D(Problem):
 
     def eval_f(self, u, t):
         self.work_counters['rhs']()
-        u_hat = self.spec.transform(u)
-        Lu_hat = self.spec.apply_operator(self.spec.L_all, u_hat)
-        Lu_hat = jnp.tensordot(jnp.asarray(self._S2_inv, Lu_hat.dtype), Lu_hat, axes=(1, 2)).transpose(1, 2, 0)
-        return -self.spec.itransform(Lu_hat)
+        return -self.spec.apply_L(u)
 
     def solve_system(self, rhs, factor, u0, t):
         return self.spec.solve_shifted(rhs, factor)
@@ -53,31 +50,28 @@ class HeatChebyshev1D(Problem):
         x = self.grid
         lam = -self.nu * (np.pi * self.freq) ** 2
         prof = jnp.sin(np.pi * self.freq * (x + 1) / 2.0) * jnp.exp(lam / 4.0 * t)
-        return prof[None, None, :].astype(self.dtype)
+        return prof[None, :].astype(self.dtype)
 
 
 class Burgers1D(Problem):
     """Viscous Burgers u_t = eps u_xx - u u_x on [-1, 1], Dirichlet BCs,
     IMEX split (reference Burgers.py Burgers1D): diffusion implicit,
-    advection explicit with dealiased pseudospectral products."""
+    advection explicit.  State shape: (1, nvars)."""
 
     f_kind = 'imex'
 
     def __init__(self, nvars=64, epsilon=0.1, BCl=1.0, BCr=-1.0, dtype=None):
-        super().__init__(shape=(1, 1, nvars), dtype=dtype)
+        super().__init__(shape=(1, nvars), dtype=dtype)
         self._register(nvars=nvars, epsilon=epsilon, BCl=BCl, BCr=BCr)
-        z = UltrasphericalBase1D(nvars, -1.0, 1.0)
-        self.zb = z
-        self.spec = SpectralLinearProblemBase(['u'], None, z)
-        U02 = z.conv_matrix(0, 2)
-        self.spec.set_L({'u': {'u': [(0, -epsilon * z.diff_matrix(2))]}})
-        self.spec.set_M({'u': {'u': [(0, U02)]}})
-        self.spec.add_BC('u', 'u', z.dirichlet_row(-1.0), BCl, line=-2)
-        self.spec.add_BC('u', 'u', z.dirichlet_row(1.0), BCr, line=-1)
-        self.spec.setup_operators()
-        self._S2_inv = np.linalg.inv(U02)
-        # first derivative in T coefficients (for the advection term)
-        self._Dz_T = np.linalg.inv(z.conv_matrix(0, 1)) @ z.diff_matrix(1)
+        spec = TensorProductSpectral()
+        self.zb = spec.add_axis('z', UltrasphericalBase1D(nvars, -1.0, 1.0))
+        spec.add_component('u')
+        spec.add_L_term('u', 'u', coeff=-epsilon, derivs={'z': 2})
+        spec.add_M_term('u', 'u')
+        spec.add_BC('u', 'u', axis='z', kind='dirichlet', x=-1.0, v=BCl, line=-2)
+        spec.add_BC('u', 'u', axis='z', kind='dirichlet', x=1.0, v=BCr, line=-1)
+        self.spec = spec.setup()
+        self._Dz_T = self.zb.deriv_natural(1)
         self.work_counters['rhs'] = WorkCounter()
 
     @property
@@ -86,15 +80,10 @@ class Burgers1D(Problem):
 
     def eval_f(self, u, t):
         self.work_counters['rhs']()
+        impl = -self.spec.apply_L(u)
         u_hat = self.spec.transform(u)
-        Lu_hat = self.spec.apply_operator(self.spec.L_all, u_hat)
-        Lu_hat = jnp.tensordot(jnp.asarray(self._S2_inv, Lu_hat.dtype), Lu_hat, axes=(1, 2)).transpose(1, 2, 0)
-        impl = -self.spec.itransform(Lu_hat)
-
-        ux_hat = jnp.tensordot(jnp.asarray(self._Dz_T, u_hat.dtype), u_hat, axes=(1, 2)).transpose(1, 2, 0)
-        ux = self.spec.itransform(ux_hat)
-        expl = -u * ux
-        return IMEX(impl=impl, expl=expl)
+        ux = self.spec.itransform(self.spec.apply_axis_matrix(self._Dz_T, u_hat, 'z'))
+        return IMEX(impl=impl, expl=-u * ux)
 
     def solve_system(self, rhs, factor, u0, t):
         return self.spec.solve_shifted(rhs, factor)
@@ -105,4 +94,45 @@ class Burgers1D(Problem):
         x = self.grid
         # initial condition matching the BCs: -x plus a sine perturbation
         u0 = self.BCl * (1 - x) / 2 + self.BCr * (1 + x) / 2 + 0.25 * jnp.sin(np.pi * x)
-        return u0[None, None, :].astype(self.dtype)
+        return u0[None, :].astype(self.dtype)
+
+
+class Heat2DChebyshev(Problem):
+    """u_t = nu (u_xx + u_zz) on [-1, 1]^2, homogeneous Dirichlet on all
+    four walls, Chebyshev in BOTH directions.
+
+    Exercises the multi-non-periodic-axis capability of the generic layer
+    (two Kronecker-coupled ultraspherical axes, tau corners resolved
+    first-claim-wins); the reference covers this space via
+    GenericSpectralLinear with two Chebychev axes
+    (generic_spectral.py:8-567).  State shape: (1, nx, nz)."""
+
+    def __init__(self, nx=32, nz=32, nu=1.0, dtype=None):
+        super().__init__(shape=(1, nx, nz), dtype=dtype)
+        self._register(nx=nx, nz=nz, nu=nu)
+        spec = TensorProductSpectral()
+        self.xb = spec.add_axis('x', UltrasphericalBase1D(nx, -1.0, 1.0))
+        self.zb = spec.add_axis('z', UltrasphericalBase1D(nz, -1.0, 1.0))
+        spec.add_component('u')
+        spec.add_L_term('u', 'u', coeff=-nu, derivs={'x': 2})
+        spec.add_L_term('u', 'u', coeff=-nu, derivs={'z': 2})
+        spec.add_M_term('u', 'u')
+        for line, x in ((-1, 1.0), (-2, -1.0)):
+            spec.add_BC('u', 'u', axis='x', kind='dirichlet', x=x, v=0.0, line=line)
+            spec.add_BC('u', 'u', axis='z', kind='dirichlet', x=x, v=0.0, line=line)
+        self.spec = spec.setup()
+        self.work_counters['rhs'] = WorkCounter()
+
+    def eval_f(self, u, t):
+        self.work_counters['rhs']()
+        return -self.spec.apply_L(u)
+
+    def solve_system(self, rhs, factor, u0, t):
+        return self.spec.solve_shifted(rhs, factor)
+
+    def u_exact(self, t, u_init=None, t_init=None):
+        """Separable decaying mode vanishing on all walls."""
+        X, Z = (jnp.asarray(g) for g in self.spec.grids())
+        lam = -self.nu * np.pi**2 / 2.0  # (pi/2)^2 per direction
+        prof = jnp.sin(np.pi * (X + 1) / 2) * jnp.sin(np.pi * (Z + 1) / 2)
+        return (prof * jnp.exp(lam * t))[None].astype(self.dtype)

@@ -6,8 +6,8 @@ import numpy as np
 import pytest
 
 from pysdc_tpu.models.rayleigh_benard import RayleighBenard
-from pysdc_tpu.models.spectral_problems import Burgers1D, HeatChebyshev1D
-from pysdc_tpu.ops.spectral import FourierBase1D, UltrasphericalBase1D
+from pysdc_tpu.models.spectral_problems import Burgers1D, Heat2DChebyshev, HeatChebyshev1D
+from pysdc_tpu.ops.spectral import FourierBase1D, TensorProductSpectral, UltrasphericalBase1D
 from pysdc_tpu.parallel.nonmpi import ControllerNonMPI
 from pysdc_tpu.sweepers.generic_implicit import GenericImplicit
 from pysdc_tpu.sweepers.imex import IMEXSweeper
@@ -77,9 +77,113 @@ def test_burgers_self_convergence_and_bcs():
     _, u2 = run(0.005)
     assert float(jnp.max(jnp.abs(u1 - u2))) < 1e-7
     # front steepens under advection
-    assert float(jnp.max(jnp.abs(jnp.diff(u1[0, 0])))) > float(
-        jnp.max(jnp.abs(jnp.diff(P.u_exact(0.0)[0, 0])))
+    assert float(jnp.max(jnp.abs(jnp.diff(u1[0])))) > float(
+        jnp.max(jnp.abs(jnp.diff(P.u_exact(0.0)[0])))
     )
+
+
+def test_neumann_row_matches_polynomial_derivative():
+    z = UltrasphericalBase1D(16, 0.0, 2.0)
+    x = jnp.asarray(z.nodes)
+    u = x**3 - x  # u' = 3x^2 - 1: u'(0) = -1, u'(2) = 11
+    a = np.asarray(z.transform(u[None], axis=1)[0])
+    assert z.neumann_row(0.0) @ a == pytest.approx(-1.0, abs=1e-10)
+    assert z.neumann_row(2.0) @ a == pytest.approx(11.0, abs=1e-10)
+
+
+def test_heat2d_chebyshev_two_coupled_axes():
+    """Two Kronecker-coupled ultraspherical axes (not expressible as
+    batched per-mode solves): spectral eval_f accuracy + SDC convergence."""
+    P = Heat2DChebyshev(nx=24, nz=24, nu=1.0)
+    u0 = P.u_exact(0.0)
+    lam = -np.pi**2 / 2.0
+    assert float(jnp.max(jnp.abs(P.eval_f(u0, 0.0) - lam * u0))) < 1e-9
+
+    desc = dict(
+        problem_class=Heat2DChebyshev,
+        problem_params=dict(nx=24, nz=24, nu=1.0),
+        sweeper_class=GenericImplicit,
+        sweeper_params=dict(num_nodes=3, QI='LU'),
+        level_params=dict(dt=0.05, restol=1e-11),
+        step_params=dict(maxiter=30),
+    )
+    c = ControllerNonMPI(1, {'logger_level': 40}, desc)
+    uend, _ = c.run(u0, 0.0, 0.25)
+    assert float(jnp.max(jnp.abs(uend - P.u_exact(0.25)))) < 1e-7
+
+
+def test_neumann_bc_insulated_heat():
+    """Insulated rod: Neumann(0) both ends; mean is conserved and the
+    solution decays to the mean."""
+    spec = TensorProductSpectral()
+    zb = spec.add_axis('z', UltrasphericalBase1D(32, 0.0, 1.0))
+    spec.add_component('u')
+    spec.add_L_term('u', 'u', coeff=-1.0, derivs={'z': 2})
+    spec.add_M_term('u', 'u')
+    spec.add_BC('u', 'u', axis='z', kind='neumann', x=0.0, v=0.0, line=-2)
+    spec.add_BC('u', 'u', axis='z', kind='neumann', x=1.0, v=0.0, line=-1)
+    spec.setup()
+
+    x = jnp.asarray(zb.nodes)
+    u = (2.0 + jnp.cos(np.pi * x))[None]  # mean 2, du/dx = 0 at both ends
+    v = u
+    for _ in range(200):
+        v = spec.solve_shifted(v, 0.05)
+    assert float(jnp.max(jnp.abs(v - 2.0))) < 1e-8
+
+
+def test_axis_order_is_arbitrary():
+    """The same heat problem declared with (Fourier, ultraspherical) and
+    (ultraspherical, Fourier) axis orders gives transposed-identical
+    solves."""
+
+    def build(order):
+        spec = TensorProductSpectral()
+        if order == 'fu':
+            spec.add_axis('x', FourierBase1D(16, 0.0, 1.0))
+            spec.add_axis('z', UltrasphericalBase1D(12, 0.0, 1.0))
+        else:
+            spec.add_axis('z', UltrasphericalBase1D(12, 0.0, 1.0))
+            spec.add_axis('x', FourierBase1D(16, 0.0, 1.0))
+        spec.add_component('u')
+        spec.add_L_term('u', 'u', coeff=-1.0, derivs={'x': 2})
+        spec.add_L_term('u', 'u', coeff=-1.0, derivs={'z': 2})
+        spec.add_M_term('u', 'u')
+        spec.add_BC('u', 'u', axis='z', kind='dirichlet', x=0.0, v=0.0, line=-2)
+        spec.add_BC('u', 'u', axis='z', kind='dirichlet', x=1.0, v=0.0, line=-1)
+        return spec.setup()
+
+    s1, s2 = build('fu'), build('uf')
+    rng = np.random.default_rng(3)
+    u = jnp.asarray(rng.standard_normal((1, 16, 12)))
+    a = s1.solve_shifted(u, 0.1)
+    b = s2.solve_shifted(jnp.transpose(u, (0, 2, 1)), 0.1)
+    assert float(jnp.max(jnp.abs(a - jnp.transpose(b, (0, 2, 1))))) < 1e-12
+    La = s1.apply_L(u)
+    Lb = s2.apply_L(jnp.transpose(u, (0, 2, 1)))
+    assert float(jnp.max(jnp.abs(La - jnp.transpose(Lb, (0, 2, 1))))) < 1e-9
+
+
+def test_declarative_matches_hand_assembly():
+    """Automatic ultraspherical conversion reproduces the hand-built
+    U12 @ D1 / U02 ladders of the variable-order RBC rows."""
+    nz = 10
+    spec = TensorProductSpectral()
+    zb = spec.add_axis('z', UltrasphericalBase1D(nz, 0.0, 1.0))
+    spec.add_component('v', 'p')
+    spec.add_L_term('v', 'p', derivs={'z': 1})          # dp/dz in a C^(2) row
+    spec.add_L_term('v', 'v', coeff=-0.5, derivs={'z': 2})
+    spec.add_M_term('v', 'v')
+    spec.add_L_term('p', 'v', derivs={'z': 1})          # dv/dz in a C^(1) row
+    spec.setup()
+
+    L = np.asarray(spec.L_all[0])
+    U12, D1, D2 = zb.conv_matrix(1, 2), zb.diff_matrix(1), zb.diff_matrix(2)
+    np.testing.assert_allclose(L[:nz, nz:], U12 @ D1, atol=1e-13)
+    np.testing.assert_allclose(L[:nz, :nz], -0.5 * D2, atol=1e-13)
+    np.testing.assert_allclose(L[nz:, :nz], D1, atol=1e-13)
+    M = np.asarray(spec.M_all[0])
+    np.testing.assert_allclose(M[:nz, :nz], zb.conv_matrix(0, 2), atol=1e-13)
 
 
 class TestRayleighBenard:
