@@ -102,26 +102,30 @@ class HeatND(Problem):
         raise ValueError(f'unknown solver_type {self.solver_type!r}')
 
     def _sin_product(self):
+        # float(): numpy scalars are strong-typed in JAX and would promote
+        # float32 states to float64 under x64
         if self.ndim == 1:
             x = self.grids
-            return jnp.sin(np.pi * self.freq[0] * x)
+            return jnp.sin(float(np.pi * self.freq[0]) * x)
         gs = self.grids
         out = jnp.ones(self.shape, self.dtype)
         for d in range(self.ndim):
-            out = out * jnp.sin(np.pi * self.freq[d] * gs[d])
+            out = out * jnp.sin(float(np.pi * self.freq[d]) * gs[d])
         return out
 
     def _rho(self):
         """Discrete decay rate of the FD Laplacian on the initial mode
         (reference HeatEquation_ND_FD.py:105-123, 2nd-order only)."""
         dx = self.dx
-        return sum((2.0 - 2.0 * np.cos(np.pi * f * dx)) / dx**2 for f in self.freq)
+        return float(sum((2.0 - 2.0 * np.cos(np.pi * f * dx)) / dx**2 for f in self.freq))
 
     def u_exact(self, t, u_init=None, t_init=None):
         if self.ndim == 1 and self.freq[0] == -1:
             x = self.grids
-            return jnp.exp(-0.5 * ((x - 0.5) / self.sigma) ** 2) * jnp.exp(-t * self.nu * self._rho())
-        return self._sin_product() * jnp.exp(-t * self.nu * self._rho())
+            out = jnp.exp(-0.5 * ((x - 0.5) / self.sigma) ** 2) * jnp.exp(-t * self.nu * self._rho())
+        else:
+            out = self._sin_product() * jnp.exp(-t * self.nu * self._rho())
+        return out.astype(self.dtype)
 
 
 class HeatNDForced(HeatND):

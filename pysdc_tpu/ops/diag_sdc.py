@@ -73,9 +73,13 @@ def diagonal_sweeps(op, sweeper, state: LevelState, t, dt, n_sweeps: int, k0: in
     (SeparableFDOperator, SpectralOperator).  ``k0`` is the starting sweep
     index for k-dependent preconditioners (MIN-SR-FLEX).
     """
-    lam = jnp.asarray(op.diag_symbol)
     real = not jnp.iscomplexobj(state.u)
     uhat = op.diag_forward(state.u)
+    sym = op.diag_symbol
+    lam_dt = jnp.real(uhat).dtype
+    if np.iscomplexobj(sym):
+        lam_dt = jnp.promote_types(lam_dt, jnp.complex64)
+    lam = jnp.asarray(sym, lam_dt)  # match the state precision, don't promote
     tauhat = op.diag_forward(state.tau)
     q = sweeper.coll.q
 

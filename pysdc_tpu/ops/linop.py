@@ -181,12 +181,21 @@ class SeparableFDOperator:
             if d['kind'] == 'circulant':
                 acc = jnp.zeros_like(u)
                 for c, s in zip(d['coeff'], d['offs']):
-                    acc = acc + c * jnp.roll(u, -int(s), axis=ax)
+                    # float(): numpy scalars would promote float32 fields
+                    acc = acc + float(c) * jnp.roll(u, -int(s), axis=ax)
                 out = out + acc
             else:
                 A = jnp.asarray(d['A'], dtype=u.dtype)
                 out = out + jnp.moveaxis(jnp.tensordot(A, u, axes=(1, ax)), 0, ax)
         return self.scale * out
+
+    @staticmethod
+    def _mat_dtype(mat, x):
+        """Precision of ``x``, complexified only if ``mat`` is complex —
+        keeps float32 states in complex64 instead of silently promoting
+        every constant to the numpy-default float64/complex128."""
+        base = jnp.real(x).dtype
+        return jnp.promote_types(base, jnp.complex64) if np.iscomplexobj(mat) else base
 
     def _forward(self, x):
         """Transform to the operator's diagonal basis."""
@@ -196,7 +205,8 @@ class SeparableFDOperator:
             if d['kind'] == 'circulant':
                 x = jnp.fft.fft(x, axis=ax)
             else:
-                x = jnp.moveaxis(jnp.tensordot(jnp.asarray(d['Vinv']), x, axes=(1, ax)), 0, ax)
+                M = jnp.asarray(d['Vinv'], self._mat_dtype(d['Vinv'], x))
+                x = jnp.moveaxis(jnp.tensordot(M, x, axes=(1, ax)), 0, ax)
         return x
 
     def _backward(self, x):
@@ -206,7 +216,8 @@ class SeparableFDOperator:
             if d['kind'] == 'circulant':
                 x = jnp.fft.ifft(x, axis=ax)
             else:
-                x = jnp.moveaxis(jnp.tensordot(jnp.asarray(d['V']), x, axes=(1, ax)), 0, ax)
+                M = jnp.asarray(d['V'], self._mat_dtype(d['V'], x))
+                x = jnp.moveaxis(jnp.tensordot(M, x, axes=(1, ax)), 0, ax)
         return x
 
     def solve_shifted(self, rhs, factor):
@@ -218,10 +229,10 @@ class SeparableFDOperator:
         if self._rfft_ok and not jnp.iscomplexobj(rhs):
             axes = tuple(range(rhs.ndim - self.ndim, rhs.ndim))
             rhat = jnp.fft.rfftn(rhs, axes=axes)
-            lam = jnp.asarray(self._lam_rfft)
+            lam = jnp.asarray(self._lam_rfft, rhs.dtype)
             xhat = rhat / (1.0 - factor * self.scale * lam)
             return jnp.fft.irfftn(xhat, s=self.shape, axes=axes).astype(rhs.dtype)
-        lam = jnp.asarray(self._lam_nd)
+        lam = jnp.asarray(self._lam_nd, self._mat_dtype(self._lam_nd, rhs))
         xhat = self._forward(rhs)
         denom = 1.0 - factor * self.scale * lam
         xhat = xhat / denom

@@ -1,11 +1,12 @@
-"""Device-mesh helpers for the (time, space) sharding of PFASST blocks.
+"""Device-mesh helpers for the (time, node, space) sharding of PFASST blocks.
 
 The reference scales with nested MPI communicators
 ``[comm_time, comm_node, comm_space]`` (projects/GPU/configs/base_config.py:20-57);
-the TPU-native equivalent is a single ``jax.sharding.Mesh`` whose axes carry
-the same roles.  Collocation nodes never need a mesh axis here — node
-parallelism is batched inside each chip (vmap), which the reference needs a
-dedicated MPI communicator for.
+the TPU-native equivalent is a single 3-axis ``jax.sharding.Mesh`` whose axes
+carry the same roles.  Unlike the reference, the node axis is optional in a
+stronger sense: node parallelism is already free inside each chip (the
+collocation axis is vmapped/batched), so ``n_node > 1`` only pays off when
+the per-node spatial solve is large enough to keep several chips busy.
 """
 
 from __future__ import annotations
@@ -15,19 +16,28 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
 
-def make_mesh(n_time: int = 1, n_space: int = 1, devices=None) -> Mesh:
-    """Build a (time, space) mesh from the available devices."""
+def make_mesh(n_time: int = 1, n_space: int = 1, n_node: int = 1, devices=None) -> Mesh:
+    """Build a (time, node, space) mesh from the available devices.
+
+    Axes of size 1 are kept in the mesh (named axes cost nothing), so all
+    downstream sharding code can address 'time'/'node'/'space' uniformly.
+    """
     devices = np.asarray(devices if devices is not None else jax.devices())
-    need = n_time * n_space
+    need = n_time * n_node * n_space
     if devices.size < need:
-        raise ValueError(f'need {need} devices for mesh (time={n_time}, space={n_space}), have {devices.size}')
-    return Mesh(devices[:need].reshape(n_time, n_space), axis_names=('time', 'space'))
+        raise ValueError(
+            f'need {need} devices for mesh (time={n_time}, node={n_node}, '
+            f'space={n_space}), have {devices.size}'
+        )
+    return Mesh(devices[:need].reshape(n_time, n_node, n_space),
+                axis_names=('time', 'node', 'space'))
 
 
 def block_sharding(mesh: Mesh, ndim_space: int, shard_space: bool = True) -> NamedSharding:
     """Sharding for block state arrays (P, M+1, *space): leading axis over
-    'time', first spatial axis over 'space' (if requested)."""
-    spec = ['time', None]  # (P, nodes, ...)
+    'time', the collocation-node axis over 'node' (if the mesh has one),
+    first spatial axis over 'space' (if requested)."""
+    spec = ['time', 'node' if 'node' in mesh.axis_names else None]
     space_axes = [None] * ndim_space
     if shard_space and ndim_space > 0:
         space_axes[0] = 'space'

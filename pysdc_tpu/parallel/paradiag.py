@@ -26,7 +26,6 @@ import numpy as np
 
 from pysdc_tpu.convergence.basic_restarting import BasicRestarting
 from pysdc_tpu.core.errors import ControllerError, ParameterError
-from pysdc_tpu.core.hooks import Entry
 from pysdc_tpu.core.step import Step
 from pysdc_tpu.parallel.controller import Controller
 from pysdc_tpu.sweepers.paradiag import QDiagonalization, compute_diagonalization
@@ -90,6 +89,10 @@ class ParaDiagController(Controller):
         self.n_steps = num_procs
         self.mesh = mesh
         self.template = Step(description)
+        #: shadow steps (one per time step) so the standard hook machinery
+        #: sees real per-step status, as in the reference's ParaDiag
+        #: controller (controller_ParaDiag_nonMPI.py:56-90)
+        self.MS = [self.template] + [Step(description) for _ in range(num_procs - 1)]
         if len(self.template.levels) != 1:
             raise ControllerError('Multi-level SDC not implemented in ParaDiag')
         lvl = self.template.levels[0]
@@ -118,7 +121,7 @@ class ParaDiagController(Controller):
         self._build_kernels()
 
     def all_steps(self):
-        return [self.template]
+        return self.MS
 
     # ------------------------------------------------------------------
     def _build_kernels(self):
@@ -191,36 +194,86 @@ class ParaDiagController(Controller):
         self._predict = predict
 
     # ------------------------------------------------------------------
+    def _fire(self, point, step, lvl, **kw):
+        """Broadcast one hook point to every registered hook."""
+        for hook in self.hooks:
+            getattr(hook, point)(step=step, level_number=lvl, **kw)
+
+    def _sync_shadows(self, u, res_norms, niter):
+        """Refresh the shadow steps' status/uend so hooks read live data."""
+        is_complex = jnp.iscomplexobj(self.template.levels[0].prob.u_init)
+        for j, step in enumerate(self.MS):
+            step.status.iter = niter
+            L0 = step.levels[0]
+            L0.status.residual = float(res_norms[j])
+            L0.status.updated = False
+            ue = u[j, -1]
+            L0.uend = ue if is_complex else ue.real.astype(L0.prob.dtype)
+
     def run(self, u0, t0, Tend):
+        """March ParaDiag blocks from t0 to Tend, firing the standard hook
+        points per step (pre/post run, step, iteration — the reference's
+        ParaDiag controller drives the same hooks machinery as the PFASST
+        controllers, controller_ParaDiag_nonMPI.py:56-90)."""
         lvl = self.template.levels[0]
         prob = lvl.prob
         dt = lvl.params.dt
         restol = lvl.params.restol
         L = self.n_steps
-        stats = {}
         eps = max(10 * np.finfo(float).eps, 1e-12 * abs(Tend))
+
+        for hook in self.hooks:
+            hook.reset_stats()
+        self._fire('post_setup', None, None)
+        for step in self.MS:
+            self._fire('pre_run', step, 0)
 
         t_block = float(t0)
         uend = jnp.asarray(u0)
         while t_block < Tend - eps:
             t_arr = jnp.asarray(t_block + dt * np.arange(L))
+            for j, step in enumerate(self.MS):
+                step.reset_step()
+                step.status.slot = j
+                step.status.first = j == 0
+                step.status.last = j == L - 1
+                step.status.iter = 0
+                step.status.stage = 'SPREAD'
+                L0 = step.levels[0]
+                L0.status.sweep = 1
+                L0.status.time = float(t_arr[j])
+                self._fire('pre_step', step, 0)
+
+            for step in self.MS:
+                self._fire('pre_predict', step, 0)
             u = self._predict(uend, t_arr, dt)
+            for step in self.MS:
+                self._fire('post_predict', step, 0)
+                step.status.stage = 'IT_PARADIAG'
+
             niter = 0
             res_norm = np.inf
             while niter < self.maxiter:
+                for step in self.MS:
+                    step.status.iter = niter + 1
+                    self._fire('pre_iteration', step, 0)
                 u, res_norms = self._iteration(u, uend, t_arr, dt)
-                res_norm = float(jnp.max(res_norms))
                 niter += 1
+                self._sync_shadows(u, np.asarray(res_norms), niter)
+                for step in self.MS:
+                    self._fire('post_iteration', step, 0)
+                res_norm = float(np.max(np.asarray(res_norms)))
                 if res_norm <= restol:
                     break
 
-            for j in range(L):
-                key = dict(process=j, process_sweeper=0, time=float(t_arr[j]), level=0, sweep=1, num_restarts=0)
-                stats[Entry(iter=niter, type='niter', **key)] = niter
-                stats[Entry(iter=niter, type='residual_post_step', **key)] = res_norm
+            for step in self.MS:
+                step.status.done = True
+                self._fire('post_step', step, 0)
 
             uend_c = u[-1, -1]
             uend = uend_c.real.astype(prob.dtype) if not jnp.iscomplexobj(prob.u_init) else uend_c.astype(prob.dtype)
             t_block = float(t_arr[-1]) + dt
 
-        return uend, stats
+        for step in self.MS:
+            self._fire('post_run', step, 0)
+        return uend, self.return_stats()

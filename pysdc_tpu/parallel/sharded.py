@@ -10,10 +10,12 @@ time axis sharded over the ``time`` axis of a ``jax.sharding.Mesh``:
     collective-permute over ICI (replacing Issend/Irecv with tags,
     controller_MPI.py:235-306).
   - sweeps/residuals/transfers     = vmapped over the time axis.
-  - the serialized coarse chain    = ``lax.scan`` over the time axis on a
-    replication-constrained coarse state: every chip redundantly computes
-    the whole Gauss-Seidel chain (one all-gather) — on TPU this beats
-    ping-ponging P tiny sweeps across chips and is bit-identical in math.
+  - the serialized coarse chain    = two equivalent strategies selected by
+    size (``coarse_mode``): 'replicated' scans a replication-constrained
+    coarse state (one all-gather; every chip redundantly computes the whole
+    Gauss-Seidel chain — beats ping-ponging P tiny sweeps at toy sizes) and
+    'pipelined' keeps the block time-sharded and moves ONE step's state per
+    round over ICI (bounded memory — the scale-out choice).
   - convergence flags              = one tiny device->host sync per
     iteration, replacing the cancellable Ibcast waits
     (controller_MPI.py:307-322); SPMD cannot early-exit per rank, so
@@ -76,13 +78,19 @@ class _BlockLevel:
 
     # -- sharding -------------------------------------------------------
     def _spec(self, leaf):
-        """(time, ..., space-dims): leading axis over 'time', first spatial
-        axis over 'space' (block leaves always end with the problem's
-        spatial shape)."""
+        """(time, node, ..., space-dims): leading axis over 'time', the
+        collocation-node axis over 'node' (when the mesh has one and the
+        node count divides), first spatial axis over 'space' (block leaves
+        always end with the problem's spatial shape)."""
         ndim_space = len(self.level.prob.shape)
         mid = leaf.ndim - 1 - ndim_space
         axes = ['time'] + [None] * mid
-        if ndim_space > 0 and 'space' in self.mesh.axis_names:
+        names = self.mesh.axis_names
+        if 'node' in names and mid >= 1:
+            n_node = self.mesh.shape['node']
+            if n_node > 1 and leaf.shape[1] % n_node == 0:
+                axes[1] = 'node'
+        if ndim_space > 0 and 'space' in names:
             axes += ['space'] + [None] * (ndim_space - 1)
         else:
             axes += [None] * ndim_space
@@ -132,7 +140,43 @@ class _BlockLevel:
             u0_cand = jnp.concatenate([states.u[:1, 0], uend[:-1]], axis=0)
             return jax.vmap(set_u0_one)(states, u0_cand, t_arr, recv_mask)
 
-        def coarse_chain(states, uend, t_arr, dt, recv_mask, active, k):
+        def coarse_chain_pipelined(states, uend, t_arr, dt, recv_mask, active, k):
+            """Gauss-Seidel chain with the block state kept time-sharded:
+            each round materializes ONE step's state (dynamic slice — the
+            owning chip broadcasts a single step over ICI), sweeps it
+            replicated, and scatters the result back.  Peak per-chip memory
+            is one step's coarse state instead of the whole block; same
+            math as the replicated chain (gated in tests/test_sharded.py)."""
+            P = self.P
+
+            def body(q, carry):
+                states, uend = carry
+                s_q = jax.tree_util.tree_map(
+                    lambda a: jax.lax.dynamic_index_in_dim(a, q, 0, keepdims=False), states
+                )
+                ue_prev = jnp.where(
+                    q == 0,
+                    states.u[0, 0],
+                    jax.lax.dynamic_index_in_dim(uend, jnp.maximum(q - 1, 0), 0, keepdims=False),
+                )
+                t_q, recv_q, act_q = t_arr[q], recv_mask[q], active[q]
+                s_q = set_u0_one(s_q, ue_prev, t_q, jnp.logical_and(recv_q, act_q))
+                s_sw = sweep.update_nodes(prob, s_q, t_q, dt, k)
+                ue_sw = sweep.compute_end_point(s_sw, t_q, dt)
+                s_out = jax.tree_util.tree_map(
+                    lambda a, b: jnp.where(act_q, a, b), s_sw, s_q
+                )
+                ue_old = jax.lax.dynamic_index_in_dim(uend, q, 0, keepdims=False)
+                ue_out = jnp.where(act_q, ue_sw, ue_old)
+                states = jax.tree_util.tree_map(
+                    lambda a, v: jax.lax.dynamic_update_index_in_dim(a, v, q, 0), states, s_out
+                )
+                uend = jax.lax.dynamic_update_index_in_dim(uend, ue_out, q, 0)
+                return states, uend
+
+            return jax.lax.fori_loop(0, P, body, (states, uend))
+
+        def coarse_chain_replicated(states, uend, t_arr, dt, recv_mask, active, k):
             """Serial Gauss-Seidel chain over the time axis, computed
             redundantly on every chip via a replication constraint."""
             if mesh is not None:
@@ -170,7 +214,28 @@ class _BlockLevel:
         self.residual = jax.jit(residual)
         self.endpoint = jax.jit(endpoint)
         self.shift_recv = jax.jit(shift_recv)
-        self.coarse_chain = jax.jit(coarse_chain, static_argnums=(6,))
+        self._coarse_replicated = jax.jit(coarse_chain_replicated, static_argnums=(6,))
+        self._coarse_pipelined = jax.jit(coarse_chain_pipelined, static_argnums=(6,))
+        self.coarse_chain = self._coarse_replicated
+
+    def select_coarse_impl(self, mode='auto', threshold_bytes=4 << 20):
+        """Pick the Gauss-Seidel chain implementation.
+
+        'replicated' all-gathers the coarse block once per chain (cheapest
+        at toy sizes); 'pipelined' keeps the block time-sharded and moves
+        one step's state per round (bounded memory — the scale-out choice).
+        'auto' switches to pipelined once the replicated block would exceed
+        ``threshold_bytes`` per chip."""
+        if mode == 'auto':
+            prob = self.level.prob
+            M = self.level.sweep.coll.num_nodes
+            itemsize = jnp.dtype(prob.dtype or jnp.float64).itemsize
+            est = self.P * int(np.prod(prob.shape)) * itemsize * (3 * M + 2)
+            mode = 'pipelined' if est > threshold_bytes else 'replicated'
+        self.coarse_chain = (
+            self._coarse_pipelined if mode == 'pipelined' else self._coarse_replicated
+        )
+        return mode
 
     def reset(self):
         self.state = None
@@ -205,7 +270,8 @@ class ShardedController(ControllerNonMPI):
     """Block PFASST over a device mesh, with the complete hook and
     convergence-controller stack of the virtual controller."""
 
-    def __init__(self, num_procs: int, controller_params: dict, description: dict, mesh=None):
+    def __init__(self, num_procs: int, controller_params: dict, description: dict, mesh=None,
+                 coarse_mode: str = 'auto'):
         self.mesh = mesh
         super().__init__(num_procs, controller_params, description)
 
@@ -246,6 +312,8 @@ class ShardedController(ControllerNonMPI):
             _BlockTransfer(bt, self.blocks[i], self.blocks[i + 1])
             for i, bt in enumerate(template.base_transfers)
         ]
+        #: resolved Gauss-Seidel chain strategy on the coarsest level
+        self.coarse_mode = self.blocks[-1].select_coarse_impl(coarse_mode)
 
     @property
     def template(self):

@@ -55,8 +55,8 @@ class FullyImplicitDAE(Sweeper):
             u_approx = integral[m]
             for j in range(1, m + 1):
                 if self.QI[m + 1, j] != 0.0:
-                    u_approx = u_approx + dt * self.QI[m + 1, j] * du_list[j]
-            du_list[m + 1] = prob.solve_system_dae(u_approx, dt * self.QI[m + 1, m + 1], du_list[m + 1], ts[m])
+                    u_approx = u_approx + dt * float(self.QI[m + 1, j]) * du_list[j]
+            du_list[m + 1] = prob.solve_system_dae(u_approx, dt * float(self.QI[m + 1, m + 1]), du_list[m + 1], ts[m])
 
         f = jnp.stack(du_list, axis=0)
         u_nodes = state.u[0][None] + dt * _tensordot_nodes(self.coll.q, f[1:])
@@ -107,8 +107,8 @@ class SemiImplicitDAE(FullyImplicitDAE):
             u_approx = integral[m]
             for j in range(1, m + 1):
                 if self.QI[m + 1, j] != 0.0:
-                    u_approx = u_approx + dt * self.QI[m + 1, j] * du_list[j].at[nd:].set(0.0)
-            du_list[m + 1] = prob.solve_system_dae_semi(u_approx, dt * self.QI[m + 1, m + 1], du_list[m + 1], ts[m])
+                    u_approx = u_approx + dt * float(self.QI[m + 1, j]) * du_list[j].at[nd:].set(0.0)
+            du_list[m + 1] = prob.solve_system_dae_semi(u_approx, dt * float(self.QI[m + 1, m + 1]), du_list[m + 1], ts[m])
 
         f = jnp.stack(du_list, axis=0)
         # differential components integrate; algebraic ones come from the solve

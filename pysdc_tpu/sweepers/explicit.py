@@ -39,7 +39,7 @@ class ExplicitSweeper(Sweeper):
             rhs = integral[m]
             for j in range(1, m + 1):
                 if QE[m + 1, j] != 0.0:
-                    rhs = rhs + dt * QE[m + 1, j] * f_list[j]
+                    rhs = rhs + dt * float(QE[m + 1, j]) * f_list[j]
             u_list[m + 1] = rhs
             f_list[m + 1] = prob.eval_f(u_list[m + 1], ts[m])
 

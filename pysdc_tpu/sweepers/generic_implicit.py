@@ -47,7 +47,11 @@ class GenericImplicit(Sweeper):
         QI = self._qi(k)
         ts = self.node_times(t, dt)
 
-        ft = state.f[1:]  # (M, *shape); single-component problems only
+        # (M, *shape): any array-valued RHS — multi-component states carry a
+        # leading component axis inside *shape (the reference's generic path
+        # handles any mesh-like dtype the same way); problems with split
+        # pytree RHS (imex/comp2) pair with their dedicated sweepers
+        ft = state.f[1:]
         W = self.coll.q - QI[1:, 1:]
         integral = dt * _tensordot_nodes(W, ft) + state.u[0][None] + state.tau
 
@@ -67,8 +71,10 @@ class GenericImplicit(Sweeper):
             rhs = integral[m]
             for j in range(1, m + 1):
                 if QI[m + 1, j] != 0.0:
-                    rhs = rhs + dt * QI[m + 1, j] * f_list[j]
-            alpha = QI[m + 1, m + 1]
+                    # float(): numpy scalars are strong-typed in JAX and
+                    # would promote float32 states to float64
+                    rhs = rhs + dt * float(QI[m + 1, j]) * f_list[j]
+            alpha = float(QI[m + 1, m + 1])
             if alpha == 0.0:
                 u_list[m + 1] = rhs
             else:

@@ -74,10 +74,10 @@ class IMEXSweeper(Sweeper):
             rhs = integral[m]
             for j in range(1, m + 1):
                 if QI[m + 1, j] != 0.0:
-                    rhs = rhs + dt * QI[m + 1, j] * fi_list[j]
+                    rhs = rhs + dt * float(QI[m + 1, j]) * fi_list[j]
                 if QE[m + 1, j] != 0.0:
-                    rhs = rhs + dt * QE[m + 1, j] * fe_list[j]
-            u_list[m + 1] = prob.solve_system(rhs, dt * QI[m + 1, m + 1], u_list[m + 1], ts[m])
+                    rhs = rhs + dt * float(QE[m + 1, j]) * fe_list[j]
+            u_list[m + 1] = prob.solve_system(rhs, dt * float(QI[m + 1, m + 1]), u_list[m + 1], ts[m])
             fm = prob.eval_f(u_list[m + 1], ts[m])
             fi_list[m + 1], fe_list[m + 1] = fm.impl, fm.expl
 

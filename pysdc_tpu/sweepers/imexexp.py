@@ -165,7 +165,7 @@ class IMEXEXPSweeper(Sweeper):
                 f_list[m].exp, lmbda, u0, u_list[m]
             )
             tmp = tmp + dt * self.delta[m] * f_list[m].expl
-            u_list[m + 1] = prob.solve_system(tmp, dt * self.QI[m + 1, m + 1], u_list[m + 1], ts[m])
+            u_list[m + 1] = prob.solve_system(tmp, dt * float(self.QI[m + 1, m + 1]), u_list[m + 1], ts[m])
             f_list[m + 1] = prob.eval_f(u_list[m + 1], ts[m])
 
         u = jnp.stack(u_list, axis=0)

@@ -51,14 +51,14 @@ class MultiImplicitSweeper(Sweeper):
             rhs = integral[m]
             for j in range(1, m + 1):
                 if self.Q1[m + 1, j] != 0.0:
-                    rhs = rhs + dt * self.Q1[m + 1, j] * f1_list[j]
-            u_mid = solve_1(rhs, dt * self.Q1[m + 1, m + 1], u_list[m + 1], ts[m])
+                    rhs = rhs + dt * float(self.Q1[m + 1, j]) * f1_list[j]
+            u_mid = solve_1(rhs, dt * float(self.Q1[m + 1, m + 1]), u_list[m + 1], ts[m])
 
             rhs = u_mid - Q2int[m]
             for j in range(1, m + 1):
                 if self.Q2[m + 1, j] != 0.0:
-                    rhs = rhs + dt * self.Q2[m + 1, j] * f2_list[j]
-            u_list[m + 1] = solve_2(rhs, dt * self.Q2[m + 1, m + 1], u_mid, ts[m])
+                    rhs = rhs + dt * float(self.Q2[m + 1, j]) * f2_list[j]
+            u_list[m + 1] = solve_2(rhs, dt * float(self.Q2[m + 1, m + 1]), u_mid, ts[m])
 
             fm = prob.eval_f(u_list[m + 1], ts[m])
             f1_list[m + 1], f2_list[m + 1] = fm.comp1, fm.comp2

@@ -4,9 +4,10 @@ Counterpart of the reference ``helpers/fieldsIO.py`` (FieldsIO / Scalar /
 Rectilinear): a self-describing binary format with a header followed by
 appended ``(time, field)`` records, registered per structure ID.  Restart =
 ``FieldsIO.fromFile(name).readField(idx)`` (reference GPU project
-configs/base_config.py:168-192).  Single-host here: under a device mesh the
-global array is fetched once per record (multi-host collective IO is a
-later-round concern).
+configs/base_config.py:168-192).  Sharded writes: device-sharded arrays are
+written shard-by-shard into their slabs of the record (see
+:meth:`FieldsIO.addField`) — the analog of the reference's MPI-collective
+writes with derived filetypes (fieldsIO.py:505-560).
 """
 
 from __future__ import annotations
@@ -93,12 +94,53 @@ class FieldsIO:
         return size // self.fSize
 
     def addField(self, time, field):
+        """Append one (time, field) record.
+
+        Device-sharded ``jax.Array`` inputs take the collective-write path:
+        each addressable shard is written directly into its slab of the
+        record (strided ``np.memmap`` assignment) without ever gathering
+        the global array on the host — the TPU-native analog of the
+        reference's MPI-IO derived-filetype collective writes
+        (fieldsIO.py:505-560).  The record offset is deterministic from the
+        current file size, so on a multi-host mesh every process computes
+        the same offsets and writes only the shards it owns."""
         assert self.initialized, 'FieldsIO not initialized'
-        field = np.ascontiguousarray(np.asarray(field, dtype=self.dtype))
-        assert field.size == self.nDoF, f'expected {self.nDoF} DoF, got {field.size}'
+        shards = self._addressable_shards(field)
+        if shards is None:
+            arr = np.ascontiguousarray(np.asarray(field, dtype=self.dtype))
+            assert arr.size == self.nDoF, f'expected {self.nDoF} DoF, got {arr.size}'
+            with open(self.file_name, 'ab') as f:
+                f.write(struct.pack('<d', float(time)))
+                f.write(arr.tobytes())
+            return
+        assert int(np.prod(field.shape)) == self.nDoF, (
+            f'expected {self.nDoF} DoF, got {int(np.prod(field.shape))}'
+        )
         with open(self.file_name, 'ab') as f:
+            offset0 = f.tell()
             f.write(struct.pack('<d', float(time)))
-            f.write(field.tobytes())
+            f.truncate(offset0 + self.fSize)  # reserve the record's slab space
+        mm = np.memmap(self.file_name, dtype=self.dtype, mode='r+',
+                       offset=offset0 + 8, shape=tuple(field.shape))
+        for sh in shards:
+            if sh.replica_id != 0:
+                continue  # each slab written exactly once
+            mm[sh.index] = np.asarray(sh.data, dtype=self.dtype)
+        mm.flush()
+        del mm
+
+    @staticmethod
+    def _addressable_shards(field):
+        """Return the field's addressable shards when it is a non-trivially
+        device-sharded jax.Array, else None (plain host write)."""
+        try:
+            import jax
+        except Exception:  # pragma: no cover - jax is a hard dep in practice
+            return None
+        if isinstance(field, jax.Array) and len(getattr(field.sharding, 'device_set', ())) > 1:
+            if not field.is_fully_replicated:
+                return field.addressable_shards
+        return None
 
     def formatIndex(self, idx):
         n = self.nFields
@@ -248,7 +290,9 @@ class LogToFile:
                 t = float(L.time) + float(L.dt)
                 if t >= io._t_next:
                     L.compute_end_point()
-                    io.io.addField(t, np.asarray(L.uend))
+                    # pass the device array through: sharded solutions take
+                    # the collective (per-shard slab) write path
+                    io.io.addField(t, L.uend)
                     io._t_next = t + io.time_increment
 
         self.hook_class = _Hook

@@ -89,3 +89,42 @@ def test_checkpoint_restart_equivalence(tmp_path):
     u_cont, _ = c2.run(jnp.asarray(u_restart.reshape(64)), t_restart, 0.2)
 
     assert float(jnp.max(jnp.abs(u_cont - u_direct))) < 1e-13
+
+
+def test_sharded_collective_write_matches_host_write(tmp_path):
+    """Device-sharded fields take the per-shard slab write path (the analog
+    of the reference's MPI-IO collective writes, fieldsIO.py:505-560) and
+    produce byte-identical records to a host-side write."""
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+    rng = np.random.default_rng(7)
+    data = rng.standard_normal((2, 16, 8))
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(4, 2), axis_names=('a', 'b'))
+    sharded = jax.device_put(jnp.asarray(data), NamedSharding(mesh, PartitionSpec(None, 'a', 'b')))
+    assert len(sharded.sharding.device_set) == 8
+
+    coords = [np.arange(16, dtype=float), np.arange(8, dtype=float)]
+    io_sh = Rectilinear(np.float64, str(tmp_path / 'sharded.pysdc'))
+    io_sh.setHeader(nVar=2, coords=coords)
+    io_sh.initialize()
+    io_sh.addField(0.5, sharded)
+    io_sh.addField(1.5, 2 * sharded)
+
+    io_host = Rectilinear(np.float64, str(tmp_path / 'host.pysdc'))
+    io_host.setHeader(nVar=2, coords=coords)
+    io_host.initialize()
+    io_host.addField(0.5, data)
+    io_host.addField(1.5, 2 * data)
+
+    for idx in (0, 1):
+        t_sh, f_sh = FieldsIO.fromFile(io_sh.file_name).readField(idx)
+        t_ho, f_ho = FieldsIO.fromFile(io_host.file_name).readField(idx)
+        assert t_sh == t_ho
+        np.testing.assert_array_equal(np.asarray(f_sh), np.asarray(f_ho))
+    # replicated arrays fall back to the plain path
+    repl = jax.device_put(jnp.asarray(data), NamedSharding(mesh, PartitionSpec()))
+    io_sh.addField(2.5, repl)
+    t, f = FieldsIO.fromFile(io_sh.file_name).readField(2)
+    np.testing.assert_allclose(np.asarray(f), data)

@@ -101,6 +101,70 @@ def test_sharded_time_space_mesh_2d():
     assert len(leaf.sharding.device_set) == 8
 
 
+def test_pipelined_coarse_chain_matches_replicated():
+    """The time-sharded (one step materialized per round) Gauss-Seidel chain
+    is mathematically identical to the replicated scan: same iteration
+    counts, same solution."""
+    desc = _desc([63, 31])
+    cp = {'logger_level': 40, 'predict_type': 'pfasst_burnin'}
+    P0 = None
+    results = {}
+    for mode in ('replicated', 'pipelined'):
+        mesh = make_mesh(n_time=4, n_space=1)
+        sh = ShardedController(4, cp, desc, mesh=mesh, coarse_mode=mode)
+        assert sh.coarse_mode == mode
+        P0 = P0 or sh.template.levels[0].prob
+        u, s = sh.run(P0.u_exact(0.0), 0.0, 1.0)
+        results[mode] = (u, [v for _, v in get_sorted(s, type='niter')])
+    u_r, it_r = results['replicated']
+    u_p, it_p = results['pipelined']
+    assert it_r == it_p, f'iteration counts differ: {it_r} vs {it_p}'
+    assert float(jnp.max(jnp.abs(u_r - u_p))) < 1e-12
+
+
+def test_coarse_mode_auto_selection():
+    desc = _desc([63, 31])
+    cp = {'logger_level': 40, 'predict_type': 'pfasst_burnin'}
+    sh = ShardedController(4, cp, desc, mesh=make_mesh(n_time=4, n_space=1))
+    assert sh.coarse_mode == 'replicated'  # tiny coarse state
+    sh2 = ShardedController(4, cp, desc, mesh=make_mesh(n_time=4, n_space=1))
+    assert sh2.blocks[-1].select_coarse_impl('auto', threshold_bytes=1) == 'pipelined'
+
+
+def test_sharded_three_axis_mesh():
+    """The full (time, node, space) product mesh (SURVEY P8): block state
+    sharded over all three axes at once, still matching the virtual run."""
+    desc = dict(
+        problem_class=HeatND,
+        problem_params=dict(nu=0.1, freq=2, nvars=[(16, 16), (8, 8)], bc='periodic'),
+        sweeper_class=GenericImplicit,
+        sweeper_params=dict(quad_type='RADAU-RIGHT', num_nodes=[3], QI='LU'),
+        level_params=dict(restol=1e-9, dt=0.05),
+        step_params=dict(maxiter=20),
+        space_transfer_params=dict(rorder=2, iorder=2, periodic=True),
+    )
+    cp = {'logger_level': 40, 'predict_type': 'pfasst_burnin'}
+
+    ref = ControllerNonMPI(2, cp, desc)
+    P = ref.MS[0].levels[0].prob
+    u_ref, s_ref = ref.run(P.u_exact(0.0), 0.0, 0.1)
+    it_ref = [v for _, v in get_sorted(s_ref, type='niter')]
+
+    mesh = make_mesh(n_time=2, n_node=2, n_space=2)
+    assert dict(zip(mesh.axis_names, mesh.devices.shape)) == {'time': 2, 'node': 2, 'space': 2}
+    sh = ShardedController(2, cp, desc, mesh=mesh)
+    u_sh, s_sh = sh.run(P.u_exact(0.0), 0.0, 0.1)
+    it_sh = [v for _, v in get_sorted(s_sh, type='niter')]
+
+    assert it_ref == it_sh, f'iteration counts differ: {it_ref} vs {it_sh}'
+    assert float(jnp.max(jnp.abs(u_ref - u_sh))) < 1e-11
+    # u/f leaves (P, M+1, *space) really carry the node axis: M+1 = 4 is
+    # divisible by n_node = 2, so the spec sharded axis 1
+    spec = sh.blocks[0]._spec(sh.blocks[0].state.u)
+    assert spec[1] == 'node'
+    assert len(sh.blocks[0].state.u.sharding.device_set) == 8
+
+
 def test_graft_entry_surface():
     import __graft_entry__ as g
 
