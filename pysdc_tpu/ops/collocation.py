@@ -67,8 +67,19 @@ class Collocation:
 
 
 def _empirical_order(nodes: np.ndarray, weights: np.ndarray, tleft: float, tright: float) -> int:
-    """Largest d+1 such that the rule integrates monomials up to degree d
-    exactly (relative tol), probed on the actual interval."""
+    """Algebraic order of the quadrature rule: largest d+1 such that the
+    rule integrates monomials up to degree d exactly (probed on the actual
+    interval to 1e-13 relative tolerance).
+
+    Monomial exactness IS the definition of quadrature order, so for the
+    non-Gaussian node families this probe returns the exact analytic value
+    up to roundoff: any interpolatory rule on M nodes has order >= M, and
+    rules with nodes symmetric about the interval midpoint (EQUID, all four
+    CHEBY families) gain one extra degree when M is odd (odd-degree error
+    moments cancel) — e.g. M=3 EQUID/LOBATTO is Simpson's rule, order 4.
+    Gated against these closed forms in tests/test_collocation.py.  The
+    value feeds error estimators (Adaptivity's dt exponent), matching the
+    reference's per-family order attribute (core/collocation.py:9-141)."""
     max_deg = 2 * nodes.size + 1
     order = 0
     for d in range(max_deg + 1):

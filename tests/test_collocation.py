@@ -121,3 +121,22 @@ def test_bad_parameters_raise():
         get_collocation(3, 'LEGENDRE', 'NOPE')
     with pytest.raises(ValueError):
         get_collocation(3, 'LEGENDRE', 'GAUSS', 1.0, 0.0)
+
+
+def test_non_legendre_orders_match_closed_forms():
+    """The monomial-exactness probe returns the known analytic orders:
+    interpolatory rules have order >= M; midpoint-symmetric node sets
+    (EQUID, CHEBY families) gain one degree for odd M; M=3 EQUID/LOBATTO is
+    Simpson's rule (order 4)."""
+    from pysdc_tpu.ops.collocation import get_collocation
+
+    assert get_collocation(3, 'EQUID', 'LOBATTO').order == 4  # Simpson
+    assert get_collocation(2, 'EQUID', 'LOBATTO').order == 2  # trapezoid
+    for M in range(2, 7):
+        for node_type in ('EQUID', 'CHEBY-1', 'CHEBY-2'):
+            coll = get_collocation(M, node_type, 'LOBATTO')
+            expect = M + 1 if M % 2 == 1 else M  # symmetry bonus for odd M
+            assert coll.order == expect, (node_type, M, coll.order)
+        # one-sided Radau rules: no symmetry, interpolatory order M...
+        coll = get_collocation(M, 'EQUID', 'RADAU-RIGHT')
+        assert coll.order >= M, ('EQUID RADAU-RIGHT', M, coll.order)
