@@ -159,7 +159,10 @@ def bench_tpu_allen_cahn(n=1024, M=4, n_sweeps=10, reps=3):
 
 
 def bench_stencil_roofline(n=2048, nb=4, reps=50):
-    """Achieved HBM bandwidth of the Pallas stencil apply (the hot eval_f)."""
+    """Achieved HBM bandwidth of the Pallas stencil apply (the hot eval_f),
+    plus the measured pure-streaming ceiling of this chip/tunnel (a fused
+    elementwise pass over the same bytes) — fraction-of-achievable is the
+    honest roofline; the datasheet peak is also reported for context."""
     import jax
     import jax.numpy as jnp
 
@@ -167,17 +170,20 @@ def bench_stencil_roofline(n=2048, nb=4, reps=50):
 
     prob = HeatND(nvars=(n, n), nu=0.1, freq=2, bc='periodic', dtype=jnp.float32)
     u = jnp.asarray(np.random.default_rng(0).standard_normal((nb, n, n)), jnp.float32)
-    ap = jax.jit(prob.A.apply)
-    out = ap(u)
-    float(jnp.sum(out))
-    start = time.perf_counter()
-    for _ in range(reps):
-        out = ap(out)
-    float(jnp.sum(out))
-    per_apply = (time.perf_counter() - start) / reps
     bytes_min = 2 * nb * n * n * 4  # one read + one write of the field
-    gbps = bytes_min / per_apply / 1e9
-    return gbps, gbps / HBM_PEAK_GBPS
+
+    def rate(fn):
+        out = fn(u)
+        float(jnp.sum(out))
+        start = time.perf_counter()
+        for _ in range(reps):
+            out = fn(out)
+        float(jnp.sum(out))
+        return bytes_min / ((time.perf_counter() - start) / reps) / 1e9
+
+    gbps = rate(jax.jit(prob.A.apply))
+    stream_gbps = rate(jax.jit(lambda x: x * 1.0001 + 0.5))
+    return gbps, gbps / HBM_PEAK_GBPS, stream_gbps, gbps / stream_gbps
 
 
 def bench_pfasst_speedup_projected(P=8, n=512, n_coarse=256):
@@ -194,14 +200,17 @@ def bench_pfasst_speedup_projected(P=8, n=512, n_coarse=256):
     from pysdc_tpu.parallel.nonmpi import ControllerNonMPI
     from pysdc_tpu.sweepers.generic_implicit import GenericImplicit
 
-    dt = 0.05
+    dt = 0.01
     desc = dict(
         problem_class=HeatND,
-        problem_params=dict(nu=0.1, freq=2, nvars=[(n, n), (n_coarse, n_coarse)], bc='periodic',
+        problem_params=dict(nu=0.1, freq=4, nvars=[(n, n), (n_coarse, n_coarse)], bc='periodic',
                             dtype=jnp.float32),
         sweeper_class=GenericImplicit,
         sweeper_params=dict(quad_type='RADAU-RIGHT', num_nodes=[3], QI='LU'),
-        level_params=dict(restol=1e-7, dt=dt),
+        # float32 residual floor ~ eps_f32 * dt * |lambda_max| * ||u||
+        # (~2e-4 at this dt/stiffness); restol sits 5x above it so the
+        # termination is tolerance-driven, not floor-driven
+        level_params=dict(restol=1e-3, dt=dt),
         step_params=dict(maxiter=50),
         space_transfer_params=dict(rorder=2, iorder=6, periodic=True),
     )
@@ -229,8 +238,10 @@ def bench_pfasst_speedup_projected(P=8, n=512, n_coarse=256):
     it_block = [v for _, v in get_sorted(s_blk, type='niter')]
 
     speedup = t_serial / (t_block / P)
+    maxiter = desc['step_params']['maxiter']
     return dict(
         speedup=round(speedup, 2),
+        converged=bool(max(it_serial) < maxiter and max(it_block) < maxiter),
         efficiency=round(speedup / P, 3),
         t_serial_s=round(t_serial, 3),
         t_block_s=round(t_block, 3),
@@ -368,7 +379,7 @@ def main():
     general_matched, _ = bench_tpu_general(n=matched_n)
     fused_nnz_s = bench_tpu_fused(n=2048)
     ac_nnz_s, ac_res = bench_tpu_allen_cahn(n=1024)
-    gbps, peak_frac = bench_stencil_roofline(n=2048)
+    gbps, peak_frac, stream_gbps, stream_frac = bench_stencil_roofline(n=2048)
     pfasst = bench_pfasst_speedup_projected()
     pfasst_mesh = bench_pfasst_speedup_cpu_mesh()
     ref_nnz_s = bench_scipy_reference(n=matched_n)
@@ -385,6 +396,8 @@ def main():
             'allen_cahn_2d_imex_1024_gnnz_s': round(ac_nnz_s / 1e9, 3),
             'stencil_apply_gbps': round(gbps, 1),
             'stencil_hbm_peak_frac': round(peak_frac, 3),
+            'streaming_ceiling_gbps': round(stream_gbps, 1),
+            'stencil_vs_streaming_frac': round(stream_frac, 3),
             'pfasst_speedup_projected': pfasst,
             'pfasst_speedup_cpu_mesh_8dev': pfasst_mesh,
         },

@@ -122,8 +122,10 @@ class SeparableFDOperator:
         # kernel, which is for tests, not speed); True forces it everywhere.
         self._cross_terms = None
         if self.ndim == 2 and self.all_periodic:
+            # scale folded into the taps: one fused pass, no trailing
+            # elementwise multiply over the output
             self._cross_terms = tuple(
-                (tuple(float(c) for c in d['coeff']), tuple(int(s) for s in d['offs']))
+                (tuple(float(self.scale * c) for c in d['coeff']), tuple(int(s) for s in d['offs']))
                 for d in self._dims
             )
         self._pallas = pallas
@@ -173,7 +175,7 @@ class SeparableFDOperator:
         if self._use_pallas_apply(u):
             from pysdc_tpu.ops.pallas.stencil import cross_stencil_2d
 
-            return self.scale * cross_stencil_2d(u, self._cross_terms)
+            return cross_stencil_2d(u, self._cross_terms)  # scale is in the taps
         offset = u.ndim - self.ndim  # support leading batch axes
         out = jnp.zeros_like(u)
         for d in self._dims:

@@ -130,6 +130,126 @@ def cross_stencil_2d(u, terms, interpret: bool | None = None):
     return _cross_stencil_fn(terms, interpret)(u)
 
 
+def _shift_cols(u, s):
+    """u[:, j+s] with periodic wrap, via static slices (VMEM-resident)."""
+    if s == 0:
+        return u
+    return jnp.concatenate([u[:, s:], u[:, :s]], axis=1)
+
+
+def _cross2d_rows_kernel(u_ref, out_ref, tile, sem_t, sem_c, sem_b, *,
+                         terms, tx, nx, H):
+    """Pad-free grid step (b, i): three DMAs pull the (tx, ny) row band plus
+    H-row periodic halos straight from the UNPADDED operand (the wrap is
+    modular arithmetic on the row start — tile boundaries coincide with the
+    array boundary, so a halo block never straddles the wrap), then all
+    taps evaluate in VMEM: x taps are static row slices of the extended
+    band, y taps periodic column shifts of the center rows.  One HBM read +
+    one write per cell — no materialized padded copy."""
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    # all row starts expressed as (8-row block index) * 8 so Mosaic can
+    # prove divisibility by the (8, 128) memref tiling
+    nblk, tblk = nx // H, tx // H
+    row0 = i * tblk * H
+    top = ((i * tblk - 1) % nblk) * H
+    bot = (((i + 1) * tblk) % nblk) * H
+    c_top = pltpu.make_async_copy(u_ref.at[b, pl.ds(top, H), :], tile.at[pl.ds(0, H), :], sem_t)
+    c_mid = pltpu.make_async_copy(u_ref.at[b, pl.ds(row0, tx), :], tile.at[pl.ds(H, tx), :], sem_c)
+    c_bot = pltpu.make_async_copy(u_ref.at[b, pl.ds(bot, H), :], tile.at[pl.ds(H + tx, H), :], sem_b)
+    c_top.start()
+    c_mid.start()
+    c_bot.start()
+    c_top.wait()
+    c_mid.wait()
+    c_bot.wait()
+    u = tile[:]
+    (coeff_x, offs_x), (coeff_y, offs_y) = terms
+    center = u[H : H + tx, :]
+    acc = jnp.zeros_like(center)
+    for c, s in zip(coeff_x, offs_x):
+        acc = acc + c * u[H + s : H + s + tx, :]
+    for c, s in zip(coeff_y, offs_y):
+        acc = acc + c * _shift_cols(center, int(s))
+    out_ref[0] = acc
+
+
+def _cross2d_rows_db_kernel(u_ref, out_ref, tile2, sems, *, terms, tx, nx, H, ni, ng):
+    """Double-buffered variant of :func:`_cross2d_rows_kernel`: while the
+    VPU evaluates grid step g from buffer g%2, the DMA engine already pulls
+    step g+1's band into buffer (g+1)%2 — input latency hides under
+    compute, leaving the HBM streams as the only cost."""
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    nblk, tblk = nx // H, tx // H
+    g = b * ni + i
+
+    def copies(bb, ii, slot):
+        row0 = ii * tblk * H
+        top = ((ii * tblk - 1) % nblk) * H
+        bot = (((ii + 1) * tblk) % nblk) * H
+        dst = tile2.at[slot]
+        return (
+            pltpu.make_async_copy(u_ref.at[bb, pl.ds(top, H), :], dst.at[pl.ds(0, H), :], sems.at[slot, 0]),
+            pltpu.make_async_copy(u_ref.at[bb, pl.ds(row0, tx), :], dst.at[pl.ds(H, tx), :], sems.at[slot, 1]),
+            pltpu.make_async_copy(u_ref.at[bb, pl.ds(bot, H), :], dst.at[pl.ds(H + tx, H), :], sems.at[slot, 2]),
+        )
+
+    @pl.when(g == 0)
+    def _():
+        for c in copies(b, i, 0):
+            c.start()
+
+    @pl.when(g + 1 < ng)
+    def _():
+        g1 = g + 1
+        for c in copies(g1 // ni, g1 % ni, (g + 1) % 2):
+            c.start()
+
+    for c in copies(b, i, g % 2):
+        c.wait()
+    u = tile2[g % 2]
+    (coeff_x, offs_x), (coeff_y, offs_y) = terms
+    center = u[H : H + tx, :]
+    acc = jnp.zeros_like(center)
+    for c, s in zip(coeff_x, offs_x):
+        acc = acc + c * u[H + s : H + s + tx, :]
+    for c, s in zip(coeff_y, offs_y):
+        acc = acc + c * _shift_cols(center, int(s))
+    out_ref[0] = acc
+
+
+def _cross_stencil_rows(ub, terms, rx, interpret, vmem_budget=4 << 20):
+    """Fast path: full-width row bands, periodic x handled by halo DMAs.
+
+    ``vmem_budget`` bounds ONE scratch band; two live (double buffering),
+    the out block is double-buffered by Mosaic, and tap evaluation needs ~2
+    tile-sized temporaries — the total stays under the 16 MB scoped-VMEM
+    limit."""
+    nb, nx, ny = ub.shape
+    H = 8  # aligned halo block (covers stencil radii up to 8)
+    itemsize = jnp.dtype(ub.dtype).itemsize
+    tx = _pick_tile(nx, max((vmem_budget // (ny * itemsize)) - 2 * H, 8), 8)
+    if (2 * H + tx) * ny * itemsize > 2 * vmem_budget:
+        return None  # rows too wide for VMEM — caller falls back
+    ni = nx // tx
+    kernel = functools.partial(
+        _cross2d_rows_db_kernel, terms=terms, tx=tx, nx=nx, H=H, ni=ni, ng=nb * ni
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((nb, nx, ny), ub.dtype),
+        grid=(nb, ni),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((1, tx, ny), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, 2 * H + tx, ny), ub.dtype),
+            pltpu.SemaphoreType.DMA((2, 3)),
+        ],
+        interpret=interpret,
+    )(ub)
+
+
 def _cross_stencil_impl(u, terms, interpret):
     nx, ny = u.shape[-2:]
     batch_shape = u.shape[:-2]
@@ -139,6 +259,11 @@ def _cross_stencil_impl(u, terms, interpret):
     (coeff_x, offs_x), (coeff_y, offs_y) = terms
     rx = max(abs(int(s)) for s in offs_x) if offs_x else 0
     ry = max(abs(int(s)) for s in offs_y) if offs_y else 0
+
+    if rx <= 8 and nx % 8 == 0 and ny % 128 == 0:
+        out = _cross_stencil_rows(ub, terms, rx, interpret)
+        if out is not None:
+            return out.reshape(batch_shape + (nx, ny))
 
     tx = _pick_tile(nx, 256, 8)
     ty = _pick_tile(ny, 512, 128)
