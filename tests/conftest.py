@@ -37,6 +37,9 @@ jax.config.update('jax_enable_x64', True)
 # covered without editing each module.
 _SLOW = {
     ('test_examples.py', 'test_example_runs[step_9'),
+    ('test_examples.py', 'test_example_runs[step_10'),
+    ('test_sharded.py', 'test_pipelined_coarse_chain_matches_replicated'),
+    ('test_sharded.py', 'test_sharded_three_axis_mesh'),
     ('test_examples.py', 'test_example_runs[step_5'),
     ('test_examples.py', 'test_example_runs[step_6'),
     ('test_examples.py', 'test_example_runs[step_4'),
