@@ -158,6 +158,59 @@ def bench_tpu_allen_cahn(n=1024, M=4, n_sweeps=10, reps=3):
     return nnz_per_sweep * n_sweeps * reps / elapsed, float(res)
 
 
+def bench_sparse_path(n=256, M=4, n_sweeps=10, reps=3, spmm_reps=50):
+    """North-star sparse stack on TPU: (a) the Pallas BSR SpMM kernel on a
+    2D variable-coefficient diffusion matrix batched over M nodes, and
+    (b) the full general sweep (ELL SpMV eval_f + block-Thomas shifted
+    solves) on the same non-separable operator — the path the eigen/FFT
+    fast lane cannot represent (reference analog: scipy CSR + splu,
+    generic_ND_FD.py:208-240)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pysdc_tpu.models.var_diffusion import VarCoeffDiffusion2D
+    from pysdc_tpu.sweepers.generic_implicit import GenericImplicit
+
+    coeff = lambda X, Y: 0.1 * (1.0 + 0.5 * np.sin(2 * np.pi * X) * np.cos(2 * np.pi * Y))
+    prob = VarCoeffDiffusion2D(nvars=(n, n), coeff_fn=coeff, dtype=jnp.float32)
+    ndof = n * n
+    nnz = prob.A.A.nnz
+
+    # (a) BSR SpMM over the node batch
+    u = jnp.asarray(np.random.default_rng(0).standard_normal((ndof, M)), jnp.float32)
+    y = prob.A.apply_bsr(u)
+    float(jnp.sum(y))
+    start = time.perf_counter()
+    for _ in range(spmm_reps):
+        y = prob.A.apply_bsr(y)
+    float(jnp.sum(y))
+    spmm_rate = nnz * M * spmm_reps / (time.perf_counter() - start)
+
+    # (b) general sweep through the sparse operator
+    sweep = GenericImplicit({'num_nodes': M, 'quad_type': 'RADAU-RIGHT', 'QI': 'LU'})
+
+    @jax.jit
+    def one_sweep(state, t, dt):
+        new = sweep.update_nodes(prob, state, t, dt, 0)
+        _, res = sweep.compute_residual(new, dt)
+        return new, res
+
+    dt = jnp.asarray(1e-3, jnp.float32)
+    t = jnp.asarray(0.0, jnp.float32)
+    X, Y = prob.grids
+    u0 = (jnp.sin(jnp.pi * X) * jnp.sin(jnp.pi * Y)).astype(jnp.float32)
+    state = sweep.predict(prob, u0, t, dt, 0.0)
+    state, res = one_sweep(state, t, dt)
+    float(res)
+    start = time.perf_counter()
+    for _ in range(reps):
+        for _ in range(n_sweeps):
+            state, res = one_sweep(state, t, dt)
+    float(res)
+    sweep_rate = M * nnz * n_sweeps * reps / (time.perf_counter() - start)
+    return spmm_rate, sweep_rate
+
+
 def bench_stencil_roofline(n=2048, nb=4, reps=50):
     """Achieved HBM bandwidth of the Pallas stencil apply (the hot eval_f),
     plus the measured pure-streaming ceiling of this chip/tunnel (a fused
@@ -380,6 +433,7 @@ def main():
     fused_nnz_s = bench_tpu_fused(n=2048)
     ac_nnz_s, ac_res = bench_tpu_allen_cahn(n=1024)
     gbps, peak_frac, stream_gbps, stream_frac = bench_stencil_roofline(n=2048)
+    spmm_rate, sparse_sweep_rate = bench_sparse_path()
     pfasst = bench_pfasst_speedup_projected()
     pfasst_mesh = bench_pfasst_speedup_cpu_mesh()
     ref_nnz_s = bench_scipy_reference(n=matched_n)
@@ -398,6 +452,8 @@ def main():
             'stencil_hbm_peak_frac': round(peak_frac, 3),
             'streaming_ceiling_gbps': round(stream_gbps, 1),
             'stencil_vs_streaming_frac': round(stream_frac, 3),
+            'sparse_bsr_spmm_gnnz_s': round(spmm_rate / 1e9, 3),
+            'sparse_sweep_var_diffusion_256_gnnz_s': round(sparse_sweep_rate / 1e9, 3),
             'pfasst_speedup_projected': pfasst,
             'pfasst_speedup_cpu_mesh_8dev': pfasst_mesh,
         },

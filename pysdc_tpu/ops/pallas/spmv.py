@@ -34,8 +34,13 @@ def _bsr_kernel(seg_ref, blocks_ref, u_ref, y_ref):
         y_ref[:] = jnp.zeros_like(y_ref)
 
     i = pl.program_id(0)
-    start = seg_ref[i, j]
+    kb = pl.num_programs(1)
     block = blocks_ref[0, 0]                       # (br, bc)
+    # seg_ref is FLAT (nb*kb,) — 2D scalar arrays get lane-padded to 128 in
+    # SMEM and blow its 1 MB budget — and holds starts in BLOCK-COLUMN
+    # units; multiplying by bc here lets Mosaic prove the dynamic sublane
+    # slice is bc-aligned
+    start = seg_ref[i * kb + j] * block.shape[1]
     useg = u_ref[pl.ds(start, block.shape[1]), :]  # (bc, B)
     y_ref[:] += jnp.dot(block, useg, preferred_element_type=y_ref.dtype)
 
@@ -66,5 +71,5 @@ def bsr_spmm(bsr, u, interpret: bool = False):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_rows, B), dtype),
         interpret=interpret,
-    )(bsr.seg_starts, bsr.blocks.astype(dtype), u.astype(dtype))
+    )((bsr.seg_starts // bsr.bc).reshape(-1), bsr.blocks.astype(dtype), u.astype(dtype))
     return y
