@@ -208,7 +208,7 @@ def bench_sparse_path(n=256, M=4, n_sweeps=10, reps=3, spmm_reps=50):
             state, res = one_sweep(state, t, dt)
     float(res)
     sweep_rate = M * nnz * n_sweeps * reps / (time.perf_counter() - start)
-    return spmm_rate, sweep_rate
+    return spmm_rate, sweep_rate, float(res)
 
 
 def bench_stencil_roofline(n=2048, nb=4, reps=50):
@@ -260,9 +260,10 @@ def bench_pfasst_speedup_projected(P=8, n=512, n_coarse=256):
                             dtype=jnp.float32),
         sweeper_class=GenericImplicit,
         sweeper_params=dict(quad_type='RADAU-RIGHT', num_nodes=[3], QI='LU'),
-        # float32 residual floor ~ eps_f32 * dt * |lambda_max| * ||u||
-        # (~2e-4 at this dt/stiffness); restol sits 5x above it so the
-        # termination is tolerance-driven, not floor-driven
+        # restol is reachable in float32 only under the package's full-
+        # precision matmul policy (core/precision.py): default bf16 MXU
+        # inputs floor the residual near 1.5e-3 and stall this config at
+        # maxiter on hardware (round-2 verdict, confirmed by experiment)
         level_params=dict(restol=1e-3, dt=dt),
         step_params=dict(maxiter=50),
         space_transfer_params=dict(rorder=2, iorder=6, periodic=True),
@@ -333,18 +334,25 @@ desc = dict(
 cp = {'logger_level': 40, 'predict_type': 'pfasst_burnin'}
 Tend = P * dt
 
+from pysdc_tpu.utils.stats import get_sorted
+
 desc_serial = {**desc, 'problem_params': {**desc['problem_params'], 'nvars': (128, 128)}}
 serial = ControllerNonMPI(1, {'logger_level': 40}, desc_serial)
 u0 = serial.MS[0].levels[0].prob.u_exact(0.0)
 serial.run(u0, 0.0, Tend)
-t0 = time.perf_counter(); serial.run(u0, 0.0, Tend); t_serial = time.perf_counter() - t0
+t0 = time.perf_counter(); _, s_ser = serial.run(u0, 0.0, Tend); t_serial = time.perf_counter() - t0
+it_serial = [v for _, v in get_sorted(s_ser, type='niter')]
 
 mesh = make_mesh(n_time=P, n_space=1)
 sh = ShardedController(P, cp, desc, mesh=mesh)
 sh.run(u0, 0.0, Tend)
-t0 = time.perf_counter(); sh.run(u0, 0.0, Tend); t_sharded = time.perf_counter() - t0
+t0 = time.perf_counter(); _, s_sh = sh.run(u0, 0.0, Tend); t_sharded = time.perf_counter() - t0
+it_sharded = [v for _, v in get_sorted(s_sh, type='niter')]
+maxiter = desc['step_params']['maxiter']
 print(json.dumps(dict(speedup=round(t_serial / t_sharded, 2),
-                      t_serial_s=round(t_serial, 3), t_sharded_s=round(t_sharded, 3))))
+                      t_serial_s=round(t_serial, 3), t_sharded_s=round(t_sharded, 3),
+                      niter_serial=sum(it_serial), niter_sharded=it_sharded,
+                      converged=bool(max(it_serial) < maxiter and max(it_sharded) < maxiter))))
 '''
     env = dict(os.environ)
     env.pop('JAX_PLATFORMS', None)
@@ -433,7 +441,7 @@ def main():
     fused_nnz_s = bench_tpu_fused(n=2048)
     ac_nnz_s, ac_res = bench_tpu_allen_cahn(n=1024)
     gbps, peak_frac, stream_gbps, stream_frac = bench_stencil_roofline(n=2048)
-    spmm_rate, sparse_sweep_rate = bench_sparse_path()
+    spmm_rate, sparse_sweep_rate, sparse_res = bench_sparse_path()
     pfasst = bench_pfasst_speedup_projected()
     pfasst_mesh = bench_pfasst_speedup_cpu_mesh()
     ref_nnz_s = bench_scipy_reference(n=matched_n)
@@ -454,6 +462,7 @@ def main():
             'stencil_vs_streaming_frac': round(stream_frac, 3),
             'sparse_bsr_spmm_gnnz_s': round(spmm_rate / 1e9, 3),
             'sparse_sweep_var_diffusion_256_gnnz_s': round(sparse_sweep_rate / 1e9, 3),
+            'sparse_sweep_final_residual': sparse_res,
             'pfasst_speedup_projected': pfasst,
             'pfasst_speedup_cpu_mesh_8dev': pfasst_mesh,
         },

@@ -27,6 +27,13 @@ Quick start::
     uend, stats = controller.run(prob.u_exact(0.0), 0.0, 1.0)
 """
 
+from pysdc_tpu.core.precision import configure_default_matmul_precision
+
+# TPU numerics policy: restol/e_tol-driven termination needs full-precision
+# matmuls (bf16 MXU inputs put a ~1e-3 floor under residuals — see
+# core/precision.py).  Opt out with PYSDC_TPU_MATMUL_PRECISION=keep.
+configure_default_matmul_precision()
+
 from pysdc_tpu.parallel.nonmpi import ControllerNonMPI
 from pysdc_tpu.parallel.sharded import ShardedController
 from pysdc_tpu.parallel.paradiag import ParaDiagController

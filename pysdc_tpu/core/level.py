@@ -69,6 +69,15 @@ class Level:
         )
         self.tag = None
 
+        # amortized shifted-solve factorizations: the QDelta diagonal and dt
+        # are concrete here, so operators can factor once per run (the
+        # reference's dt-keyed splu cache, generic_ND_FD.py:208-240)
+        QI = getattr(self.sweep, 'QI', None)
+        if QI is not None and self.params.dt is not None:
+            import numpy as np
+
+            self.prob.prepare_node_solvers(float(self.params.dt), np.diag(np.asarray(QI))[1:])
+
         self._build_jitted()
 
     # ------------------------------------------------------------------

@@ -82,6 +82,32 @@ class Problem:
             return Comp2(z, z)
         return z
 
+    #: True once prepare_node_solvers installed per-node factorizations;
+    #: sweepers then pass the static collocation-node index to solve_system
+    #: as ``node=`` so the prepared factors can be selected at trace time
+    accepts_node_index = False
+
+    def prepare_node_solvers(self, dt: float, qd_diag) -> None:
+        """Amortize shifted-solve factorizations across a run.
+
+        Called at level setup with the concrete step size and the QDelta
+        diagonal: the per-node shifts ``dt*q_mm`` are then known host-side,
+        so operators with expensive structured factorizations (block cyclic
+        reduction) can factor once and serve every sweep by substitution —
+        the TPU role of the reference's dt-keyed splu cache
+        (``generic_ND_FD.py:208-240``).  No-op unless ``self.A`` supports it.
+        """
+        import inspect
+
+        A = getattr(self, 'A', None)
+        if A is None or not hasattr(A, 'prepare_node_shifts'):
+            return
+        if 'node' not in inspect.signature(self.solve_system).parameters:
+            return  # this problem's solve path cannot route the node index
+        shifts = [float(dt) * float(q) for q in np.atleast_1d(qd_diag)]
+        if A.prepare_node_shifts(shifts):
+            self.accepts_node_index = True
+
     # -- protocol ------------------------------------------------------
     def eval_f(self, u, t):
         raise NotImplementedError('problem has to implement eval_f(u, t)')

@@ -25,6 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from pysdc_tpu.core.errors import ParameterError
+from pysdc_tpu.core.precision import COEFF_PRECISION
 from pysdc_tpu.core.state import LevelState, f_total, norm_max
 from pysdc_tpu.ops.collocation import get_collocation
 from pysdc_tpu.ops.qdelta import is_diagonal, is_k_dependent, qdelta_explicit, qdelta_implicit
@@ -37,9 +38,11 @@ def _tensordot_nodes(W: np.ndarray, x: jnp.ndarray) -> jnp.ndarray:
 
     The contraction is a small dense matmul on the node axis — exactly the
     "collocation Q-matrix applied across nodes" op the north star asks to
-    batch; XLA maps it onto the MXU once spatial dims are large.
+    batch; XLA maps it onto the MXU once spatial dims are large.  Always
+    full input precision: bf16 MXU inputs floor the residual near 1e-3 and
+    break restol-driven termination on hardware (core/precision.py).
     """
-    return jnp.tensordot(jnp.asarray(W, dtype=x.dtype), x, axes=(1, 0))
+    return jnp.tensordot(jnp.asarray(W, dtype=x.dtype), x, axes=(1, 0), precision=COEFF_PRECISION)
 
 
 class Sweeper:
@@ -162,7 +165,7 @@ class Sweeper:
             return state.u[-1]
         ft = f_total(state.f)[1:]
         w = jnp.asarray(self.coll.weights, dtype=state.u.dtype)
-        uend = state.u[0] + dt * jnp.tensordot(w, ft, axes=(0, 0))
+        uend = state.u[0] + dt * jnp.tensordot(w, ft, axes=(0, 0), precision=COEFF_PRECISION)
         uend = uend + state.tau[-1]
         return uend
 

@@ -90,8 +90,10 @@ class HeatND(Problem):
         self.work_counters['rhs']()
         return self.A.apply(u)
 
-    def solve_system(self, rhs, factor, u0, t):
+    def solve_system(self, rhs, factor, u0, t, node=None):
         if self.solver_type == 'direct':
+            if node is not None and self.backend == 'sparse':
+                return self.A.solve_shifted(rhs, factor, node=node)
             return self.A.solve_shifted(rhs, factor)
         if self.solver_type == 'CG':
             self.work_counters['CG']()

@@ -63,8 +63,8 @@ class VarCoeffDiffusion1D(Problem):
         self.work_counters['rhs']()
         return self.A.apply(u)
 
-    def solve_system(self, rhs, factor, u0, t):
-        return self.A.solve_shifted(rhs, factor)
+    def solve_system(self, rhs, factor, u0, t, node=None):
+        return self.A.solve_shifted(rhs, factor, node=node)
 
 
 class VarCoeffDiffusion2D(Problem):
@@ -122,8 +122,8 @@ class VarCoeffDiffusion2D(Problem):
         self.work_counters['rhs']()
         return self.A.apply(u)
 
-    def solve_system(self, rhs, factor, u0, t):
-        return self.A.solve_shifted(rhs, factor)
+    def solve_system(self, rhs, factor, u0, t, node=None):
+        return self.A.solve_shifted(rhs, factor, node=node)
 
 
 class VarCoeffDiffusionForced1D(VarCoeffDiffusion1D):
@@ -147,8 +147,8 @@ class VarCoeffDiffusionForced1D(VarCoeffDiffusion1D):
         forcing = -self._mode * jnp.sin(t) - self._Amode * jnp.cos(t)
         return IMEX(impl=self.A.apply(u), expl=forcing)
 
-    def solve_system(self, rhs, factor, u0, t):
-        return self.A.solve_shifted(rhs, factor)
+    def solve_system(self, rhs, factor, u0, t, node=None):
+        return self.A.solve_shifted(rhs, factor, node=node)
 
     def u_exact(self, t, u_init=None, t_init=None):
         return self._mode * jnp.cos(t)

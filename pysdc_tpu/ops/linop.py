@@ -27,6 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from pysdc_tpu.core.errors import ProblemError
+from pysdc_tpu.core.precision import COEFF_PRECISION
 from pysdc_tpu.ops.fd import fd_matrix_1d, get_finite_difference_stencil, stencil_symbol
 
 
@@ -159,9 +160,13 @@ class SeparableFDOperator:
             return False
         if jnp.iscomplexobj(u):
             return False
-        if self._pallas == 'auto':
-            from pysdc_tpu.ops.pallas.stencil import _on_tpu
+        from pysdc_tpu.ops.pallas.stencil import _on_tpu, cross_stencil_aligned
 
+        # Mosaic rejects grids without an (8, 128)-aligned tiling on real
+        # hardware (any coarse MLSDC level <= 64 wide) — roll path instead
+        if not cross_stencil_aligned(*self.shape[-2:]):
+            return False
+        if self._pallas == 'auto':
             return _on_tpu()
         return True
 
@@ -188,7 +193,7 @@ class SeparableFDOperator:
                 out = out + acc
             else:
                 A = jnp.asarray(d['A'], dtype=u.dtype)
-                out = out + jnp.moveaxis(jnp.tensordot(A, u, axes=(1, ax)), 0, ax)
+                out = out + jnp.moveaxis(jnp.tensordot(A, u, axes=(1, ax), precision=COEFF_PRECISION), 0, ax)
         return self.scale * out
 
     @staticmethod
@@ -208,7 +213,7 @@ class SeparableFDOperator:
                 x = jnp.fft.fft(x, axis=ax)
             else:
                 M = jnp.asarray(d['Vinv'], self._mat_dtype(d['Vinv'], x))
-                x = jnp.moveaxis(jnp.tensordot(M, x, axes=(1, ax)), 0, ax)
+                x = jnp.moveaxis(jnp.tensordot(M, x, axes=(1, ax), precision=COEFF_PRECISION), 0, ax)
         return x
 
     def _backward(self, x):
@@ -219,7 +224,7 @@ class SeparableFDOperator:
                 x = jnp.fft.ifft(x, axis=ax)
             else:
                 M = jnp.asarray(d['V'], self._mat_dtype(d['V'], x))
-                x = jnp.moveaxis(jnp.tensordot(M, x, axes=(1, ax)), 0, ax)
+                x = jnp.moveaxis(jnp.tensordot(M, x, axes=(1, ax), precision=COEFF_PRECISION), 0, ax)
         return x
 
     def solve_shifted(self, rhs, factor):

@@ -64,6 +64,29 @@ def _align_up(n: int, align: int) -> int:
     return -(-n // align) * align
 
 
+def cross_stencil_aligned(nx: int, ny: int) -> bool:
+    """True when the (nx, ny) grid admits Mosaic-aligned Pallas tiles.
+
+    The kernels DMA HBM windows whose row starts must be 8-aligned and whose
+    trailing dimension must tile by 128 — Mosaic rejects ("Failed to prove
+    that a tile index ... is divisible by the tiling") anything else on real
+    hardware, even though interpret mode accepts it.  Unaligned grids (any
+    coarse MLSDC level <= 64 wide, odd sizes) take the jnp.roll path instead.
+    """
+    return nx % 8 == 0 and ny % 128 == 0
+
+
+def _roll_cross_2d(u, terms):
+    """Reference roll path: same math as the Pallas kernels, any shape."""
+    (coeff_x, offs_x), (coeff_y, offs_y) = terms
+    acc = jnp.zeros_like(u)
+    for c, s in zip(coeff_x, offs_x):
+        acc = acc + float(c) * jnp.roll(u, -int(s), axis=-2)
+    for c, s in zip(coeff_y, offs_y):
+        acc = acc + float(c) * jnp.roll(u, -int(s), axis=-1)
+    return acc
+
+
 def _cross2d_kernel(up_ref, out_ref, tile_vmem, sem, *, terms, rx, ry, tx, ty, wx, wy):
     """Grid step (b, i, j): DMA the aligned (wx, wy) window of batch slice b
     (tile + halo, rounded up to the (8, 128) tiling Mosaic requires of HBM
@@ -124,7 +147,13 @@ def cross_stencil_2d(u, terms, interpret: bool | None = None):
     This is the hot ``SeparableFDOperator.apply`` path on TPU for 2D
     periodic operators of any order (reference assembles a scipy CSR matrix
     instead, generic_ND_FD.py:120-180).
+
+    Grids without Mosaic-aligned tilings (see :func:`cross_stencil_aligned`)
+    dispatch to the numerically identical roll path — in interpret mode too,
+    so the CPU suite exercises exactly the dispatch real hardware takes.
     """
+    if not cross_stencil_aligned(*u.shape[-2:]):
+        return _roll_cross_2d(u, terms)
     if interpret is None:
         interpret = not _on_tpu()
     return _cross_stencil_fn(terms, interpret)(u)
@@ -137,46 +166,16 @@ def _shift_cols(u, s):
     return jnp.concatenate([u[:, s:], u[:, :s]], axis=1)
 
 
-def _cross2d_rows_kernel(u_ref, out_ref, tile, sem_t, sem_c, sem_b, *,
-                         terms, tx, nx, H):
-    """Pad-free grid step (b, i): three DMAs pull the (tx, ny) row band plus
-    H-row periodic halos straight from the UNPADDED operand (the wrap is
-    modular arithmetic on the row start — tile boundaries coincide with the
-    array boundary, so a halo block never straddles the wrap), then all
-    taps evaluate in VMEM: x taps are static row slices of the extended
-    band, y taps periodic column shifts of the center rows.  One HBM read +
-    one write per cell — no materialized padded copy."""
-    b = pl.program_id(0)
-    i = pl.program_id(1)
-    # all row starts expressed as (8-row block index) * 8 so Mosaic can
-    # prove divisibility by the (8, 128) memref tiling
-    nblk, tblk = nx // H, tx // H
-    row0 = i * tblk * H
-    top = ((i * tblk - 1) % nblk) * H
-    bot = (((i + 1) * tblk) % nblk) * H
-    c_top = pltpu.make_async_copy(u_ref.at[b, pl.ds(top, H), :], tile.at[pl.ds(0, H), :], sem_t)
-    c_mid = pltpu.make_async_copy(u_ref.at[b, pl.ds(row0, tx), :], tile.at[pl.ds(H, tx), :], sem_c)
-    c_bot = pltpu.make_async_copy(u_ref.at[b, pl.ds(bot, H), :], tile.at[pl.ds(H + tx, H), :], sem_b)
-    c_top.start()
-    c_mid.start()
-    c_bot.start()
-    c_top.wait()
-    c_mid.wait()
-    c_bot.wait()
-    u = tile[:]
-    (coeff_x, offs_x), (coeff_y, offs_y) = terms
-    center = u[H : H + tx, :]
-    acc = jnp.zeros_like(center)
-    for c, s in zip(coeff_x, offs_x):
-        acc = acc + c * u[H + s : H + s + tx, :]
-    for c, s in zip(coeff_y, offs_y):
-        acc = acc + c * _shift_cols(center, int(s))
-    out_ref[0] = acc
-
-
 def _cross2d_rows_db_kernel(u_ref, out_ref, tile2, sems, *, terms, tx, nx, H, ni, ng):
-    """Double-buffered variant of :func:`_cross2d_rows_kernel`: while the
-    VPU evaluates grid step g from buffer g%2, the DMA engine already pulls
+    """Pad-free, double-buffered grid step (b, i): three DMAs pull the
+    (tx, ny) row band plus H-row periodic halos straight from the UNPADDED
+    operand (the wrap is modular arithmetic on the row start — tile
+    boundaries coincide with the array boundary, so a halo block never
+    straddles the wrap; all row starts are (8-row block index) * 8 so Mosaic
+    can prove divisibility by the (8, 128) memref tiling).  All taps
+    evaluate in VMEM: x taps are static row slices of the extended band,
+    y taps periodic column shifts of the center rows.  While the VPU
+    evaluates grid step g from buffer g%2, the DMA engine already pulls
     step g+1's band into buffer (g+1)%2 — input latency hides under
     compute, leaving the HBM streams as the only cost."""
     b = pl.program_id(0)

@@ -10,11 +10,20 @@ scipy CSR + cached ``splu`` (``generic_ND_FD.py:17-240``), but TPU-native:
     (:mod:`pysdc_tpu.ops.sparse`), e.g. by Kronecker sums of 1D stencils;
   - ``apply`` runs as an ELL gather-SpMV (any pattern) or the Pallas BSR
     block kernel (:mod:`pysdc_tpu.ops.pallas.spmv`);
-  - ``solve_shifted`` picks a structured factorization by bandwidth: Thomas
-    for tridiagonal, banded LU for small bands, block-Thomas for
-    block-tridiagonal (2D five-point lines), CG as the unstructured
-    fallback.  The shift stays a traced scalar — no dt-keyed host cache,
-    no retracing under adaptivity.
+  - ``solve_shifted`` picks a structured factorization by bandwidth:
+    parallel cyclic reduction (PCR, O(log n) depth) for tridiagonal, banded
+    LU for small bands, block cyclic reduction for block-tridiagonal (2D
+    five-point lines — every level batched on the MXU), CG as the
+    unstructured fallback.  The shift stays a traced scalar — no dt-keyed
+    host cache, no retracing under adaptivity.
+  - ``prepare_node_shifts`` amortizes the block factorization across a whole
+    run: the M per-node shifts ``dt*q_mm`` are concrete at level setup, so
+    the CR factor pyramid is built once and every node solve is a pure
+    substitution (the role of the reference's dt-keyed ``splu`` cache,
+    generic_ND_FD.py:208-240).  A built-in residual-refinement loop keeps
+    the prepared path *correct* even if the runtime shift drifts from the
+    prepared one (adaptive dt): the prepared factorization then acts as a
+    preconditioner instead of an exact solve.
 
 Cross-gated against the eigen/FFT path on separable cases in
 ``tests/test_sparse.py``.
@@ -108,6 +117,73 @@ class SparseOperator:
             self._blocks = banded.block_tridiag_from_csr(A, block)
             self._block = block
 
+        #: prepared per-node factorizations: (shifts, factor-pytree with a
+        #: leading node axis), built by prepare_node_shifts
+        self._prep = None
+
+    # -- prepared factorizations ----------------------------------------
+    def prepare_node_shifts(self, shifts) -> bool:
+        """Factor ``I - shift*A`` for each concrete shift in ``shifts``.
+
+        Called at level setup with the M node shifts ``dt * diag(QDelta)``
+        (all concrete floats).  Returns True if a prepared path exists for
+        this operator's structure.  The factorization is vmapped over the
+        node axis — all M reductions batch together on the MXU.
+        """
+        shifts = np.atleast_1d(np.asarray(shifts, dtype=float))
+        if self._solver == 'block_tridiag':
+            import jax
+
+            sub, dg, sup = (jnp.asarray(v) for v in self._blocks)
+            b = dg.shape[-1]
+            eye = jnp.eye(b, dtype=dg.dtype)[None]
+
+            def factor_one(s):
+                return banded.block_cr_factor(-s * sub, eye - s * dg, -s * sup)
+
+            self._prep = (shifts, jax.vmap(factor_one)(jnp.asarray(shifts)))
+            return True
+        return False
+
+    def _prepared_solve(self, flat, factor, node):
+        """Solve with the node's prepared factors + residual refinement.
+
+        When the traced runtime ``factor`` equals the prepared shift (the
+        fixed-dt common case) the refinement loop exits after one residual
+        check; when adaptivity moved dt, the stale factorization acts as a
+        preconditioner and the loop iterates to tolerance — correctness
+        never depends on the hint being exact."""
+        import jax
+
+        _, factors = self._prep
+        fac_m = jax.tree_util.tree_map(lambda a: a[node], factors)
+        nb = self.n // self._block
+        shaped = flat.reshape(flat.shape[:-1] + (nb, self._block))
+
+        def direct(r):
+            return banded.block_cr_solve(fac_m, r)
+
+        def residual(x):
+            xf = x.reshape(flat.shape)
+            return shaped - (xf - factor * self.ell.spmv(xf)).reshape(shaped.shape)
+
+        x = direct(shaped)
+        r = residual(x)
+        rhs_norm = jnp.linalg.norm(flat) + jnp.asarray(1e-30, flat.dtype)
+        tol = 50 * jnp.finfo(flat.dtype).eps
+
+        def cond(carry):
+            x, r, it = carry
+            return jnp.logical_and(jnp.linalg.norm(r.reshape(-1)) > tol * rhs_norm, it < 50)
+
+        def body(carry):
+            x, r, it = carry
+            x = x + direct(r)
+            return x, residual(x), it + 1
+
+        x, _, _ = jax.lax.while_loop(cond, body, (x, r, jnp.asarray(0)))
+        return x.reshape(flat.shape)
+
     # -- apply -----------------------------------------------------------
     def apply(self, u):
         """A @ u; trailing axes are the grid, leading axes batch."""
@@ -126,14 +202,18 @@ class SparseOperator:
         return y[:, 0] if u.ndim == 1 else y
 
     # -- shifted solve -----------------------------------------------------
-    def solve_shifted(self, rhs, factor, x0=None, tol=1e-12, maxiter=1000):
-        """Solve ``(I - factor*A) x = rhs``; factor is a traced scalar."""
+    def solve_shifted(self, rhs, factor, x0=None, tol=1e-12, maxiter=1000, node=None):
+        """Solve ``(I - factor*A) x = rhs``; factor is a traced scalar.
+
+        ``node`` (static int) selects a prepared per-node factorization when
+        :meth:`prepare_node_shifts` ran — substitution only, no per-solve
+        reduction."""
         batch_shape = rhs.shape[: rhs.ndim - len(self.grid_shape)]
         flat = rhs.reshape(batch_shape + (self.n,))
 
         if self._solver == 'tridiag':
             lo, dg, up = (jnp.asarray(v) for v in self._tri)
-            x = banded.tridiag_solve(-factor * lo, 1.0 - factor * dg, -factor * up, flat)
+            x = banded.tridiag_pcr_solve(-factor * lo, 1.0 - factor * dg, -factor * up, flat)
         elif self._solver == 'cyclic_tridiag':
             lo, dg, up = (jnp.asarray(v) for v in self._tri)
             c_lo, c_up = self._corners
@@ -144,8 +224,16 @@ class SparseOperator:
         elif self._solver == 'banded':
             x = banded.banded_shifted_solve(self._bands, *self._bw, flat, factor)
         elif self._solver == 'block_tridiag':
-            sub, dg, sup = self._blocks
-            x = banded.block_tridiag_shifted_solve(sub, dg, sup, flat, factor)
+            if node is not None and self._prep is not None:
+                x = self._prepared_solve(flat, factor, node)
+            else:
+                sub, dg, sup = (jnp.asarray(v) for v in self._blocks)
+                b = dg.shape[-1]
+                eye = jnp.eye(b, dtype=dg.dtype)[None]
+                fac = banded.block_cr_factor(-factor * sub, eye - factor * dg, -factor * sup)
+                nb = self.n // self._block
+                shaped = flat.reshape(flat.shape[:-1] + (nb, self._block))
+                x = banded.block_cr_solve(fac, shaped).reshape(flat.shape)
         else:
             from jax.scipy.sparse.linalg import cg
 

@@ -33,11 +33,18 @@ def make_mesh(n_time: int = 1, n_space: int = 1, n_node: int = 1, devices=None) 
                 axis_names=('time', 'node', 'space'))
 
 
-def block_sharding(mesh: Mesh, ndim_space: int, shard_space: bool = True) -> NamedSharding:
+def block_sharding(mesh: Mesh, ndim_space: int, shard_space: bool = True,
+                   node_axis_len: int | None = None) -> NamedSharding:
     """Sharding for block state arrays (P, M+1, *space): leading axis over
-    'time', the collocation-node axis over 'node' (if the mesh has one),
-    first spatial axis over 'space' (if requested)."""
-    spec = ['time', 'node' if 'node' in mesh.axis_names else None]
+    'time', the collocation-node axis over 'node' (only when the mesh has a
+    non-trivial node axis AND ``node_axis_len`` divides evenly — applying a
+    sharding whose axis length does not divide fails at runtime), first
+    spatial axis over 'space' (if requested)."""
+    node = None
+    if 'node' in mesh.axis_names and mesh.shape['node'] > 1:
+        if node_axis_len is not None and node_axis_len % mesh.shape['node'] == 0:
+            node = 'node'
+    spec = ['time', node]
     space_axes = [None] * ndim_space
     if shard_space and ndim_space > 0:
         space_axes[0] = 'space'

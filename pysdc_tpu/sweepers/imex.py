@@ -77,7 +77,12 @@ class IMEXSweeper(Sweeper):
                     rhs = rhs + dt * float(QI[m + 1, j]) * fi_list[j]
                 if QE[m + 1, j] != 0.0:
                     rhs = rhs + dt * float(QE[m + 1, j]) * fe_list[j]
-            u_list[m + 1] = prob.solve_system(rhs, dt * float(QI[m + 1, m + 1]), u_list[m + 1], ts[m])
+            if prob.accepts_node_index:
+                u_list[m + 1] = prob.solve_system(
+                    rhs, dt * float(QI[m + 1, m + 1]), u_list[m + 1], ts[m], node=m
+                )
+            else:
+                u_list[m + 1] = prob.solve_system(rhs, dt * float(QI[m + 1, m + 1]), u_list[m + 1], ts[m])
             fm = prob.eval_f(u_list[m + 1], ts[m])
             fi_list[m + 1], fe_list[m + 1] = fm.impl, fm.expl
 

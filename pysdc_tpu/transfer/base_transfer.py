@@ -23,10 +23,12 @@ from pysdc_tpu.ops.lagrange import interpolation_matrix
 
 
 def _apply_node_matrix(M: np.ndarray, x):
-    """Apply an (n_to, n_from) matrix along the leading node axis of a pytree."""
-    return jax.tree_util.tree_map(
-        lambda leaf: jnp.tensordot(jnp.asarray(M, leaf.dtype), leaf, axes=(1, 0)), x
-    )
+    """Apply an (n_to, n_from) matrix along the leading node axis of a pytree
+    at full input precision (bf16 MXU inputs would floor the FAS correction —
+    see core/precision.py)."""
+    from pysdc_tpu.core.precision import coeff_contract
+
+    return jax.tree_util.tree_map(lambda leaf: coeff_contract(M, leaf), x)
 
 
 class BaseTransfer:

@@ -119,10 +119,14 @@ class MeshTransfer:
 
     @staticmethod
     def _apply_per_axis(mats, x, ndim_space):
+        from pysdc_tpu.core.precision import COEFF_PRECISION
+
         offset = x.ndim - ndim_space
         for axis, M in enumerate(mats):
             ax = axis + offset
-            x = jnp.moveaxis(jnp.tensordot(jnp.asarray(M, x.dtype), x, axes=(1, ax)), 0, ax)
+            x = jnp.moveaxis(
+                jnp.tensordot(jnp.asarray(M, x.dtype), x, axes=(1, ax), precision=COEFF_PRECISION), 0, ax
+            )
         return x
 
     def restrict(self, F):

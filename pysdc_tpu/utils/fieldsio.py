@@ -101,9 +101,13 @@ class FieldsIO:
         record (strided ``np.memmap`` assignment) without ever gathering
         the global array on the host — the TPU-native analog of the
         reference's MPI-IO derived-filetype collective writes
-        (fieldsIO.py:505-560).  The record offset is deterministic from the
-        current file size, so on a multi-host mesh every process computes
-        the same offsets and writes only the shards it owns."""
+        (fieldsIO.py:505-560).
+
+        Scope: single-host (one process owning the file).  All devices of
+        that host write shard-by-shard; a multi-host mesh would need one
+        designated process to reserve the record slab plus a barrier before
+        the per-shard writes (concurrent appends from several processes
+        would each add a header and corrupt the offsets) — not implemented."""
         assert self.initialized, 'FieldsIO not initialized'
         shards = self._addressable_shards(field)
         if shards is None:

@@ -25,8 +25,9 @@ if not os.environ.get('PYSDC_TPU_TEST_REAL'):
     # the sandbox's sitecustomize force-registers the axon TPU platform and
     # overrides JAX_PLATFORMS; the config route still wins
     jax.config.update('jax_platforms', 'cpu')
-
-jax.config.update('jax_enable_x64', True)
+    jax.config.update('jax_enable_x64', True)
+# the real-hardware lane keeps the TPU's native float32 — x64 is not
+# supported on TPU, and the tpu_smoke tests pin float32 explicitly
 
 
 # -- fast 'core' profile ---------------------------------------------------
@@ -69,6 +70,8 @@ _SLOW = {
     ('test_runge_kutta.py', 'test_rk_order_nonlinear'),
     ('test_runge_kutta.py', 'test_new_imex_order'),
     ('test_pallas_stencil.py', 'test_halo_cross_arbitrary_width[4]'),
+    ('test_tpu_smoke.py', 'test_mlsdc_coarse_64_grid_runs'),
+    ('test_tpu_smoke.py', 'test_restol_reachable_in_float32'),
 }
 
 

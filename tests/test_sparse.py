@@ -350,3 +350,82 @@ def test_galerkin_coarse_operator_consistency():
     # 3-point Laplacian (classical result for linear interpolation)
     expected = np.array([1.0, -2.0, 1.0]) / (2 * dx) ** 2
     assert np.allclose(D[7, 6:9], expected, rtol=1e-12)
+
+
+# -- parallel structured solvers (round-3: cyclic reduction) ---------------
+def test_pcr_matches_thomas():
+    """Parallel cyclic reduction == Thomas scan on general tridiagonals."""
+    from pysdc_tpu.ops.banded import tridiag_pcr_solve, tridiag_solve
+
+    for n in (3, 8, 17, 64, 100, 255):
+        lo = RNG.normal(size=n) * 0.3
+        up = RNG.normal(size=n) * 0.3
+        dg = 2.0 + RNG.random(n)
+        rhs = RNG.normal(size=(2, n))
+        x_thomas = np.asarray(tridiag_solve(jnp.asarray(lo), jnp.asarray(dg), jnp.asarray(up), jnp.asarray(rhs)))
+        x_pcr = np.asarray(tridiag_pcr_solve(jnp.asarray(lo), jnp.asarray(dg), jnp.asarray(up), jnp.asarray(rhs)))
+        assert np.abs(x_thomas - x_pcr).max() < 1e-12, f'n={n}'
+
+
+def test_block_cr_matches_dense():
+    """Block cyclic reduction (factor/solve split) == dense solve, any nb."""
+    from pysdc_tpu.ops.banded import block_cr_factor, block_cr_solve
+
+    for nb, b in ((2, 3), (5, 2), (16, 4), (33, 4)):
+        sub = RNG.normal(size=(nb, b, b)) * 0.1
+        sup = RNG.normal(size=(nb, b, b)) * 0.1
+        dg = RNG.normal(size=(nb, b, b)) * 0.2 + 3 * np.eye(b)[None]
+        rhs = RNG.normal(size=(2, nb, b))
+        fac = block_cr_factor(jnp.asarray(sub), jnp.asarray(dg), jnp.asarray(sup))
+        x = np.asarray(block_cr_solve(fac, jnp.asarray(rhs)))
+        A = np.zeros((nb * b, nb * b))
+        for r in range(nb):
+            A[r * b:(r + 1) * b, r * b:(r + 1) * b] = dg[r]
+            if r > 0:
+                A[r * b:(r + 1) * b, (r - 1) * b:r * b] = sub[r]
+            if r < nb - 1:
+                A[r * b:(r + 1) * b, (r + 1) * b:(r + 2) * b] = sup[r]
+        x_dense = np.linalg.solve(A, rhs.reshape(2, -1).T).T.reshape(2, nb, b)
+        assert np.abs(x - x_dense).max() < 1e-10, f'nb={nb} b={b}'
+
+
+def test_prepared_node_factors_match_traced_path():
+    """The prepared block-CR path (node-indexed factors + refinement) must
+    reproduce the traced factorization path exactly in a real sweep."""
+    from pysdc_tpu.core.level import Level
+    from pysdc_tpu.models.var_diffusion import VarCoeffDiffusion2D
+    from pysdc_tpu.sweepers.generic_implicit import GenericImplicit
+
+    n = 24
+    coeff = lambda X, Y: 0.1 * (1.0 + 0.5 * np.sin(2 * np.pi * X) * np.cos(2 * np.pi * Y))
+    prob = VarCoeffDiffusion2D(nvars=(n, n), coeff_fn=coeff)
+    sweep = GenericImplicit({'num_nodes': 3, 'quad_type': 'RADAU-RIGHT', 'QI': 'LU'})
+    Level(prob, sweep, {'dt': 1e-3, 'restol': 1e-12})  # triggers preparation
+    assert prob.accepts_node_index
+    assert prob.A.solver_kind == 'block_tridiag'
+
+    dt = jnp.asarray(1e-3)
+    t = jnp.asarray(0.0)
+    X, Y = prob.grids
+    u0 = jnp.sin(jnp.pi * X) * jnp.sin(jnp.pi * Y)
+    state = sweep.predict(prob, u0, t, dt, 0.0)
+    s_prep = sweep.update_nodes(prob, state, t, dt, 0)
+    prob.accepts_node_index = False  # force the traced-factorization path
+    s_traced = sweep.update_nodes(prob, state, t, dt, 0)
+    assert float(jnp.max(jnp.abs(s_prep.u - s_traced.u))) < 1e-13
+
+
+def test_prepared_factors_refine_on_shift_drift():
+    """Prepared at one dt, solved at another: the refinement loop must turn
+    the stale factorization into a preconditioner and still hit tolerance
+    (the adaptive-dt safety property)."""
+    from pysdc_tpu.models.var_diffusion import VarCoeffDiffusion2D
+
+    n = 16
+    prob = VarCoeffDiffusion2D(nvars=(n, n), coeff_fn=lambda X, Y: 0.2 + 0.1 * X * Y)
+    prob.A.prepare_node_shifts([1e-3])
+    rhs = jnp.asarray(RNG.normal(size=(n, n)))
+    factor = jnp.asarray(2.5e-3)  # 2.5x off the prepared shift
+    x = prob.A.solve_shifted(rhs, factor, node=0)
+    res = np.asarray(rhs) - (np.asarray(x) - float(factor) * np.asarray(prob.A.apply(x)))
+    assert np.abs(res).max() < 1e-10
