@@ -242,15 +242,19 @@ def bench_stencil_roofline(n=2048, nb=4, reps=50):
 def bench_pfasst_speedup_projected(P=8, n=512, n_coarse=256):
     """PFASST speedup vs serial SDC, projected from real-TPU wall clock.
 
-    The virtual block controller executes all P ranks' kernels sequentially
-    on one chip with the exact PFASST schedule (stage machine, FAS, burn-in);
-    in a P-chip run each rank executes 1/P of that work in lockstep, so
+    Both sides run the fused device-resident block runner (parallel/fused.py):
+    the serial baseline is single-step fused SDC; the PFASST block executes
+    all P ranks' kernels on one chip in one XLA program with the exact
+    PFASST schedule (burn-in, FAS, Gauss-Seidel forwarding).  In a P-chip
+    run each rank executes 1/P of that work in lockstep, so
     T_parallel ~= T_block / P (comm-free projection; the sharded controller
-    with real collectives is measured separately on the emulated mesh)."""
+    with real collectives is measured separately on the emulated mesh).
+    The stage-machine block time is also reported for reference."""
     import jax.numpy as jnp
 
     from pysdc_tpu.models.heat import HeatND
     from pysdc_tpu.parallel.nonmpi import ControllerNonMPI
+    from pysdc_tpu.parallel.sharded import ShardedController
     from pysdc_tpu.sweepers.generic_implicit import GenericImplicit
 
     dt = 0.01
@@ -275,21 +279,27 @@ def bench_pfasst_speedup_projected(P=8, n=512, n_coarse=256):
 
     desc_serial = {**desc, 'problem_params': dict(desc['problem_params'])}
     desc_serial['problem_params']['nvars'] = (n, n)  # serial SDC: single level
-    serial = ControllerNonMPI(1, {'logger_level': 40}, desc_serial)
+    serial = ShardedController(1, {'logger_level': 40}, desc_serial)
     prob = serial.MS[0].levels[0].prob
     u0 = prob.u_exact(0.0)
-    serial.run(u0, 0.0, Tend)  # warm (compiles)
+    serial.run_fused(u0, 0.0, Tend)  # warm (compiles)
     start = time.perf_counter()
-    _, s_ser = serial.run(u0, 0.0, Tend)
+    _, s_ser = serial.run_fused(u0, 0.0, Tend)
     t_serial = time.perf_counter() - start
     it_serial = [v for _, v in get_sorted(s_ser, type='niter')]
 
-    block = ControllerNonMPI(P, cp, desc)
-    block.run(u0, 0.0, Tend)  # warm
+    block = ShardedController(P, cp, desc)
+    block.run_fused(u0, 0.0, Tend)  # warm
     start = time.perf_counter()
-    _, s_blk = block.run(u0, 0.0, Tend)
+    _, s_blk = block.run_fused(u0, 0.0, Tend)
     t_block = time.perf_counter() - start
     it_block = [v for _, v in get_sorted(s_blk, type='niter')]
+
+    stage = ControllerNonMPI(P, cp, desc)
+    stage.run(u0, 0.0, Tend)  # warm
+    start = time.perf_counter()
+    stage.run(u0, 0.0, Tend)
+    t_stage = time.perf_counter() - start
 
     speedup = t_serial / (t_block / P)
     maxiter = desc['step_params']['maxiter']
@@ -299,6 +309,7 @@ def bench_pfasst_speedup_projected(P=8, n=512, n_coarse=256):
         efficiency=round(speedup / P, 3),
         t_serial_s=round(t_serial, 3),
         t_block_s=round(t_block, 3),
+        t_block_stage_machine_s=round(t_stage, 3),
         niter_serial=sum(it_serial),
         niter_pfasst=it_block,
         P=P,
@@ -306,18 +317,29 @@ def bench_pfasst_speedup_projected(P=8, n=512, n_coarse=256):
 
 
 def bench_pfasst_speedup_cpu_mesh():
-    """Measured end-to-end PFASST speedup on an 8-device emulated mesh
-    (real ppermute/psum collectives), run in a subprocess so the TPU process
-    keeps its platform.  Returns None if the subprocess fails."""
+    """End-to-end PFASST on an 8-device emulated mesh with real
+    ppermute/psum collectives (subprocess so the TPU process keeps its
+    platform), via the fused device-resident block runner.
+
+    Context for the wall-clock ratio: XLA's host-emulated devices execute
+    their programs SEQUENTIALLY on the host's cores (measured here: N-device
+    sharded work takes N x the 1-device time — the emulated mesh validates
+    collectives and exposes per-chip overhead, it cannot exhibit parallel
+    speedup; the reference treats its virtual controller the same way,
+    controller_nonMPI.py:12).  So besides the raw wall-clock ratio this
+    reports ``speedup_projected_from_mesh`` = t_serial / (t_sharded / P),
+    the per-chip-work ratio the same program gives once each time rank owns
+    a real chip, now including ALL collective/masking overhead (unlike the
+    single-chip projection, which is comm-free).  Returns None on failure."""
     code = r'''
 import os, json, time
 os.environ['JAX_PLATFORMS'] = 'cpu'
 os.environ['XLA_FLAGS'] = os.environ.get('XLA_FLAGS', '') + ' --xla_force_host_platform_device_count=8'
 import jax
 jax.config.update('jax_platforms', 'cpu')
+jax.config.update('jax_enable_x64', True)  # reference-parity f64 on CPU
 from pysdc_tpu.models.heat import HeatND
 from pysdc_tpu.parallel.mesh import make_mesh
-from pysdc_tpu.parallel.nonmpi import ControllerNonMPI
 from pysdc_tpu.parallel.sharded import ShardedController
 from pysdc_tpu.sweepers.generic_implicit import GenericImplicit
 
@@ -337,20 +359,23 @@ Tend = P * dt
 from pysdc_tpu.utils.stats import get_sorted
 
 desc_serial = {**desc, 'problem_params': {**desc['problem_params'], 'nvars': (128, 128)}}
-serial = ControllerNonMPI(1, {'logger_level': 40}, desc_serial)
+serial = ShardedController(1, {'logger_level': 40}, desc_serial)
 u0 = serial.MS[0].levels[0].prob.u_exact(0.0)
-serial.run(u0, 0.0, Tend)
-t0 = time.perf_counter(); _, s_ser = serial.run(u0, 0.0, Tend); t_serial = time.perf_counter() - t0
+serial.run_fused(u0, 0.0, Tend)
+t0 = time.perf_counter(); _, s_ser = serial.run_fused(u0, 0.0, Tend); t_serial = time.perf_counter() - t0
 it_serial = [v for _, v in get_sorted(s_ser, type='niter')]
 
 mesh = make_mesh(n_time=P, n_space=1)
 sh = ShardedController(P, cp, desc, mesh=mesh)
-sh.run(u0, 0.0, Tend)
-t0 = time.perf_counter(); _, s_sh = sh.run(u0, 0.0, Tend); t_sharded = time.perf_counter() - t0
+sh.run_fused(u0, 0.0, Tend)
+t0 = time.perf_counter(); _, s_sh = sh.run_fused(u0, 0.0, Tend); t_sharded = time.perf_counter() - t0
 it_sharded = [v for _, v in get_sorted(s_sh, type='niter')]
 maxiter = desc['step_params']['maxiter']
 print(json.dumps(dict(speedup=round(t_serial / t_sharded, 2),
+                      speedup_projected_from_mesh=round(t_serial / (t_sharded / P), 2),
                       t_serial_s=round(t_serial, 3), t_sharded_s=round(t_sharded, 3),
+                      host_cores=os.cpu_count(), coarse_chain=sh.coarse_mode,
+                      emulated_devices_serialize=True,
                       niter_serial=sum(it_serial), niter_sharded=it_sharded,
                       converged=bool(max(it_serial) < maxiter and max(it_sharded) < maxiter))))
 '''

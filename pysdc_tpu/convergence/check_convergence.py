@@ -25,23 +25,23 @@ class CheckConvergence(ConvergenceController):
 
     @staticmethod
     def check_convergence(S, self=None):
-        """Convergence of a single step (reference check_convergence.py:59)."""
+        """Convergence verdict for one step (reference check_convergence.py:59):
+        any of {iteration budget spent, residual under restol after at least
+        one sweep, increment under e_tol, forced done} — unless the step is
+        forced to continue."""
+        if S.status.force_continue:
+            return False
+        if S.status.force_done or S.status.iter >= S.params.maxiter:
+            return True
+
         L = S.levels[0]
-        iter_converged = S.status.iter >= S.params.maxiter
-        residual = float(L.status.residual) if L.status.residual is not None else None
-        res_converged = (
-            residual is not None
-            and residual <= L.params.restol
-            and (S.status.iter > 0 or L.status.sweep > 0)
-        )
-        increment = getattr(L.status, 'increment', None)
-        e_tol_converged = (
-            increment is not None and L.params.e_tol is not None and L.params.e_tol > 0 and increment < L.params.e_tol
-        )
-        converged = (
-            iter_converged or res_converged or e_tol_converged or S.status.force_done
-        ) and not S.status.force_continue
-        return bool(converged)
+        swept_at_all = S.status.iter > 0 or L.status.sweep > 0
+        if L.status.residual is not None and swept_at_all:
+            if float(L.status.residual) <= L.params.restol:
+                return True
+
+        inc, e_tol = getattr(L.status, 'increment', None), L.params.e_tol
+        return bool(inc is not None and e_tol is not None and 0 < e_tol and inc < e_tol)
 
     def check_iteration_status(self, controller, S, **kwargs):
         S.status.done = self.check_convergence(S, self)

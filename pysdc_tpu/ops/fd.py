@@ -16,26 +16,27 @@ from scipy.special import factorial
 
 def get_steps(derivative: int, order: int, stencil_type: str) -> tuple[int, np.ndarray]:
     """Offsets of the FD stencil for the requested type."""
+    width = order + derivative
     if stencil_type == 'center':
-        n = order + derivative - (derivative + 1) % 2 // 1
-        steps = np.arange(n) - n // 2
+        # symmetric stencils gain one order for even derivatives, so one
+        # fewer point suffices there
+        if derivative % 2 == 0:
+            width -= 1
+        steps = np.arange(width) - width // 2
     elif stencil_type == 'forward':
-        n = order + derivative
-        steps = np.arange(n)
+        steps = np.arange(width)
     elif stencil_type == 'backward':
-        n = order + derivative
-        steps = -np.arange(n)
+        steps = -np.arange(width)
     elif stencil_type == 'upwind':
-        n = order + derivative
-        if n <= 3:
-            n, steps = get_steps(derivative, order, 'backward')
-        else:
-            steps = np.append(-np.arange(n - 1)[::-1], [1])
+        if width <= 3:
+            return get_steps(derivative, order, 'backward')
+        # mostly-backward stencil with a single downwind point
+        steps = np.concatenate([np.arange(-(width - 2), 1), [1]])
     else:
         raise ValueError(
             f'stencil must be of type "center", "forward", "backward" or "upwind", not {stencil_type}'
         )
-    return n, steps
+    return width, steps
 
 
 def get_finite_difference_stencil(derivative: int, order: int | None = None, stencil_type: str | None = None, steps=None):
@@ -48,17 +49,15 @@ def get_finite_difference_stencil(derivative: int, order: int | None = None, ste
     else:
         n, steps = get_steps(derivative, order, stencil_type)
 
-    A = np.zeros((n, n))
-    idx = np.arange(n)
-    inv_facs = 1.0 / factorial(idx)
-    for i in range(n):
-        A[i, :] = steps ** idx[i] * inv_facs[i]
-    rhs = np.zeros(n)
-    rhs[derivative] = 1.0
-    coeff = np.linalg.solve(A, rhs)
+    # rows are Taylor terms s^i/i!; selecting the `derivative` unit vector
+    # zeroes every other expansion term up to the achievable order
+    powers = np.arange(n)[:, None]
+    taylor = steps[None, :] ** powers / factorial(powers)
+    unit = np.eye(n)[derivative]
+    coeff = np.linalg.solve(taylor, unit)
 
-    srt = np.argsort(steps)
-    return coeff[srt], np.sort(steps)
+    order_of = np.argsort(steps)
+    return coeff[order_of], steps[order_of]
 
 
 def fd_matrix_1d(

@@ -237,8 +237,11 @@ class SeparableFDOperator:
             axes = tuple(range(rhs.ndim - self.ndim, rhs.ndim))
             rhat = jnp.fft.rfftn(rhs, axes=axes)
             lam = jnp.asarray(self._lam_rfft, rhs.dtype)
-            xhat = rhat / (1.0 - factor * self.scale * lam)
-            return jnp.fft.irfftn(xhat, s=self.shape, axes=axes).astype(rhs.dtype)
+            # pin the denominator to the rhs real dtype: a wider traced
+            # `factor` (f64 under x64) would promote the quotient to c128
+            # against c64 data elsewhere in the program
+            denom = (1.0 - factor * self.scale * lam).astype(rhs.dtype)
+            return jnp.fft.irfftn(rhat / denom, s=self.shape, axes=axes).astype(rhs.dtype)
         lam = jnp.asarray(self._lam_nd, self._mat_dtype(self._lam_nd, rhs))
         xhat = self._forward(rhs)
         denom = 1.0 - factor * self.scale * lam

@@ -1,0 +1,419 @@
+"""Device-resident PFASST block execution (the production fast lane).
+
+The stage-machine controllers interleave Python dispatch with device work:
+every sweep pays a host round-trip for residual bookkeeping, which made the
+8-device sharded run 25x slower than serial SDC in round 2.  This module
+compiles one ENTIRE block solve — SPREAD, the predictor, and the complete
+iterate-until-converged PFASST loop with Gauss-Seidel convergence
+forwarding — into a single XLA program built around ``lax.while_loop``.  A
+block of P time steps runs to convergence with ZERO host syncs; the host
+fetches (uend, niter, residual history) once per block and synthesizes the
+default stats entries from them.
+
+Semantics are pinned to the stage machine (``parallel/nonmpi.py``): the
+per-iteration order is IT_CHECK (boundary exchange, residual, convergence
+flags with prev_done forwarding) -> IT_DOWN (restrict cascade with
+intermediate sweeps) -> IT_COARSE (serialized Gauss-Seidel chain) -> IT_UP
+(prolong cascade) -> IT_FINE (nsweeps fine sweeps with exchanges).
+``tests/test_fused.py`` gates uend and per-step iteration counts against
+the slow sharded and virtual controllers — the invariant the reference
+pins between its two controllers (tests/test_tutorials/test_step_6.py:26-42,
+controller_MPI.py:403-460 vs controller_nonMPI.py:297-330).
+
+Eligibility (checked; ineligible raises ControllerError so callers fall
+back to the stage-machine path): restol/maxiter-driven termination (no
+adaptivity, e_tol, or restarts), uniform dt, non-k-dependent
+preconditioners, no user hooks needing per-sweep data.  Stats carry the
+default entries (niter, residual_post_iteration, residual_post_step, dt);
+per-sweep residual entries are not recorded — the device loop does not
+compute them (they are diagnostics, not part of the algorithm).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pysdc_tpu.convergence.basic_restarting import BasicRestarting
+from pysdc_tpu.convergence.check_convergence import CheckConvergence
+from pysdc_tpu.convergence.spread_step_sizes import SpreadStepSizesBlockwise
+from pysdc_tpu.core.errors import ControllerError
+
+
+class _Carry(NamedTuple):
+    states: tuple  # LevelState per level, leading (P,) axis
+    uends: tuple  # (P, *shape_l) per level
+    done: jnp.ndarray  # (P,) bool
+    iters: jnp.ndarray  # (P,) int32
+    res_hist: jnp.ndarray  # (maxiter+2, P) residuals at each IT_CHECK
+    k: jnp.ndarray  # scalar int32: IT_CHECK counter
+    cont: jnp.ndarray  # scalar bool: keep iterating
+
+
+def check_fused_eligibility(ctrl):
+    """Raise ControllerError when the configuration needs the stage machine."""
+    # the default stack: CheckConvergence + BasicRestarting and its
+    # SpreadStepSizesBlockwise dependency (a no-op at fixed dt)
+    allowed = (CheckConvergence, BasicRestarting, SpreadStepSizesBlockwise)
+    for C in ctrl.convergence_controllers:
+        if not isinstance(C, allowed):
+            raise ControllerError(
+                f'fused block execution supports only restol/maxiter termination; '
+                f'{type(C).__name__} needs the stage-machine path'
+            )
+    lvl0 = ctrl.MS[0].levels[0]
+    e_tol = getattr(lvl0.params, 'e_tol', None)
+    if e_tol is not None and e_tol > 0:
+        raise ControllerError('fused block execution does not support e_tol termination')
+    if ctrl.params.use_iteration_estimator:
+        raise ControllerError('fused block execution does not support the iteration estimator')
+    for lvl in ctrl.MS[0].levels:
+        if lvl.sweep.k_dependent:
+            raise ControllerError(
+                'fused block execution needs iteration-independent preconditioners '
+                '(k-dependent QI/QE change coefficients per sweep)'
+            )
+        if float(lvl.params.dt) != float(lvl0.params.dt):
+            raise ControllerError('fused block execution needs one dt across levels')
+    if ctrl.params.predict_type not in (None, 'fine_only', 'pfasst_burnin', 'fmg'):
+        raise ControllerError(f'unknown predict_type {ctrl.params.predict_type!r}')
+
+
+def build_fused_block(ctrl):
+    """Compile the whole-block PFASST solve for a ShardedController.
+
+    Returns ``fused(u0, t_arr, dt, window) -> (uend_block, iters, res_hist,
+    n_checks)`` where ``window`` is the (P,) prefix mask of active slots.
+    """
+    blocks = ctrl.blocks
+    transfers = ctrl.transfers
+    nlevels = ctrl.nlevels
+    nsweeps = ctrl.nsweeps
+    P = ctrl.num_procs
+    template = ctrl.MS[0]
+    restol = float(template.levels[0].params.restol)
+    maxiter = int(template.params.maxiter)
+    predict_type = ctrl.params.predict_type
+    all_to_done = bool(ctrl.params.all_to_done)
+    mssdc_jac = bool(ctrl.params.mssdc_jac)
+    coarse_raw = {
+        'owner': blocks[-1].raw.coarse_owner,
+        'pipelined': blocks[-1].raw.coarse_pipelined,
+        'replicated': blocks[-1].raw.coarse_replicated,
+    }[ctrl.coarse_mode]
+    arange = jnp.arange(P)
+
+    def shifted(done):
+        """prev_done per slot: done flag of the predecessor (False at slot 0)."""
+        return jnp.concatenate([jnp.zeros((1,), bool), done[:-1]])
+
+    def exchange(lvl, state, uend, t_arr, dt, active, prev_done):
+        raw = blocks[lvl].raw
+        uend = raw.endpoint(state, t_arr, dt, active, uend)
+        recv = active & (arange > 0) & ~prev_done
+        state = raw.shift_recv(state, uend, t_arr, recv)
+        return state, uend
+
+    def sweep_rounds(lvl, state, uend, t_arr, dt, active, prev_done, n):
+        """n x (exchange + masked sweep) — the _masked_sweeps loop body."""
+        raw = blocks[lvl].raw
+        for _ in range(n):
+            state, uend = exchange(lvl, state, uend, t_arr, dt, active, prev_done)
+            state = raw.sweep(state, t_arr, dt, active, 0)
+        return state, uend
+
+    def restrict_all(states, t_arr, dt):
+        """Restrict fine -> coarsest through every level; keep uolds."""
+        states = list(states)
+        uolds = [None] * nlevels
+        for l, tr in enumerate(transfers):
+            Gs, Guold, _ = tr.restrict_raw(states[l], t_arr, dt, dt)
+            states[l + 1] = Gs
+            uolds[l + 1] = Guold
+        return states, uolds
+
+    # -- predictors ------------------------------------------------------
+    def predict_burnin(states, uends, t_arr, dt, window):
+        """Staggered coarse wavefront (nonmpi.py _burnin, batched via masks)."""
+        states, uolds = restrict_all(states, t_arr, dt)
+        craw = blocks[-1].raw
+        n_active = jnp.sum(window.astype(jnp.int32))
+
+        def wave(q, carry):
+            cst, cuend = carry
+            sweep_mask = (arange >= q) & window
+            cst = craw.sweep(cst, t_arr, dt, sweep_mask, 0)
+            cuend = craw.endpoint(cst, t_arr, dt, sweep_mask, cuend)
+            recv = (arange >= q + 1) & window
+            cst = craw.shift_recv(cst, cuend, t_arr, recv)
+            return cst, cuend
+
+        cst, cuend = jax.lax.fori_loop(0, n_active, wave, (states[-1], uends[-1]))
+        states[-1] = cst
+        uends = list(uends)
+        uends[-1] = cuend
+
+        for l in range(nlevels - 1, 0, -1):
+            states[l - 1] = transfers[l - 1].prolong_raw(
+                states[l - 1], states[l], uolds[l], t_arr, dt
+            )
+        states[0], uends[0] = exchange(
+            0, states[0], uends[0], t_arr, dt, window, jnp.zeros((P,), bool)
+        )
+        states[0] = blocks[0].raw.sweep(states[0], t_arr, dt, window, 0)
+        return states, uends
+
+    def predict_fmg(states, uends, t_arr, dt, window):
+        """FMG predictor (nonmpi.py _full_multigrid, batched)."""
+        states, uolds = restrict_all(states, t_arr, dt)
+        uends = list(uends)
+        no_prev = jnp.zeros((P,), bool)
+        recv = window & (arange > 0)
+        states[-1], uends[-1] = coarse_raw(
+            states[-1], uends[-1], t_arr, dt, recv, window, 0
+        )
+        for l in range(nlevels - 1, 0, -1):
+            states[l - 1] = transfers[l - 1].prolong_raw(
+                states[l - 1], states[l], uolds[l], t_arr, dt
+            )
+            if l - 1 > 0:
+                states[l - 1] = blocks[l - 1].raw.sweep(states[l - 1], t_arr, dt, window, 0)
+        states[0], uends[0] = exchange(0, states[0], uends[0], t_arr, dt, window, no_prev)
+        states[0] = blocks[0].raw.sweep(states[0], t_arr, dt, window, 0)
+        return states, uends
+
+    # -- one PFASST iteration of work (post IT_CHECK) --------------------
+    def iteration_work(states, uends, t_arr, dt, active, prev_done):
+        states = list(states)
+        uends = list(uends)
+        if nlevels == 1:
+            if P == 1 or mssdc_jac:
+                states[0], uends[0] = sweep_rounds(
+                    0, states[0], uends[0], t_arr, dt, active, prev_done, nsweeps[0]
+                )
+            else:  # Gauss-Seidel MSSDC: serialized single-level chain
+                recv = active & (arange > 0) & ~prev_done
+                states[0], uends[0] = coarse_raw(
+                    states[0], uends[0], t_arr, dt, recv, active, 0
+                )
+            return tuple(states), tuple(uends)
+
+        # IT_DOWN: intermediate-level sweeps + restriction cascade
+        uolds = [None] * nlevels
+        for l, tr in enumerate(transfers):
+            if l > 0:
+                states[l], uends[l] = sweep_rounds(
+                    l, states[l], uends[l], t_arr, dt, active, prev_done, nsweeps[l]
+                )
+            Gs, Guold, _ = tr.restrict_raw(states[l], t_arr, dt, dt)
+            states[l + 1] = Gs
+            uolds[l + 1] = Guold
+
+        # IT_COARSE: serialized Gauss-Seidel chain over the time axis
+        recv = active & (arange > 0) & ~prev_done
+        states[-1], uends[-1] = coarse_raw(
+            states[-1], uends[-1], t_arr, dt, recv, active, 0
+        )
+
+        # IT_UP: prolongation cascade (+ intermediate sweeps)
+        for l in range(nlevels - 1, 0, -1):
+            states[l - 1] = transfers[l - 1].prolong_raw(
+                states[l - 1], states[l], uolds[l], t_arr, dt
+            )
+            if l - 1 > 0:
+                states[l - 1], uends[l - 1] = sweep_rounds(
+                    l - 1, states[l - 1], uends[l - 1], t_arr, dt, active, prev_done,
+                    nsweeps[l - 1],
+                )
+
+        # IT_FINE
+        states[0], uends[0] = sweep_rounds(
+            0, states[0], uends[0], t_arr, dt, active, prev_done, nsweeps[0]
+        )
+        return tuple(states), tuple(uends)
+
+    # -- the fused whole-block program -----------------------------------
+    def fused(u0, t_arr, dt, window):
+        # SPREAD
+        u0_block = jnp.broadcast_to(u0, (P,) + u0.shape)
+        fine = blocks[0].raw.predict(u0_block, t_arr, dt)
+        if ctrl.mesh is not None:
+            fine = jax.lax.with_sharding_constraint(
+                fine, jax.tree_util.tree_map(blocks[0]._time_spec, fine)
+            )
+        states = [fine]
+        uends = [jnp.zeros((P,) + blocks[0].level.prob.shape, blocks[0].level.prob.dtype)]
+        # materialize coarse-level carries (overwritten by every restriction)
+        for l in range(1, nlevels):
+            Gs, _, _ = transfers[l - 1].restrict_raw(states[l - 1], t_arr, dt, dt)
+            states.append(Gs)
+            uends.append(
+                jnp.zeros((P,) + blocks[l].level.prob.shape, blocks[l].level.prob.dtype)
+            )
+
+        # PREDICT
+        if predict_type == 'pfasst_burnin' and nlevels > 1:
+            states, uends = predict_burnin(states, uends, t_arr, dt, window)
+        elif predict_type == 'fmg' and nlevels > 1:
+            states, uends = predict_fmg(states, uends, t_arr, dt, window)
+        elif predict_type == 'fine_only':
+            states = list(states)
+            states[0], uends[0] = sweep_rounds(
+                0, states[0], uends[0], t_arr, dt, window, jnp.zeros((P,), bool), 1
+            )
+
+        carry0 = _Carry(
+            states=tuple(states),
+            uends=tuple(uends),
+            done=~window,
+            iters=jnp.zeros((P,), jnp.int32),
+            res_hist=jnp.zeros((maxiter + 2, P), jnp.float64 if states[0].u.dtype == jnp.float64 else jnp.float32),
+            k=jnp.zeros((), jnp.int32),
+            cont=jnp.ones((), bool),
+        )
+
+        def cond(c):
+            return c.cont
+
+        def body(c):
+            # IT_CHECK: exchange + residual + convergence flags
+            active = window & ~c.done
+            prev_done = shifted(c.done)
+            states = list(c.states)
+            uends = list(c.uends)
+            states[0], uends[0] = exchange(
+                0, states[0], uends[0], t_arr, dt, active, prev_done
+            )
+            res = blocks[0].raw.residual(states[0], dt)
+            res_hist = c.res_hist.at[c.k].set(jnp.where(active, res, c.res_hist[c.k]))
+
+            raw_done = (res <= restol) | (c.iters >= maxiter)
+            done = c.done | (active & raw_done) | ~window
+            # Gauss-Seidel forwarding: done[j] requires done[j-1] (prefix AND)
+            done = jnp.cumprod(done.astype(jnp.int32)).astype(bool) | ~window
+            if all_to_done:
+                done = jnp.where(window, jnp.all(done), True)
+            iters = jnp.where(window & ~done, c.iters + 1, c.iters)
+            cont = ~jnp.all(done)
+
+            active2 = window & ~done
+            prev_done2 = shifted(done)
+
+            def work(operand):
+                states, uends = operand
+                return iteration_work(states, uends, t_arr, dt, active2, prev_done2)
+
+            states, uends = jax.lax.cond(
+                cont, work, lambda op: op, (tuple(states), tuple(uends))
+            )
+            return _Carry(states, uends, done, iters, res_hist, c.k + 1, cont)
+
+        out = jax.lax.while_loop(cond, body, carry0)
+        return out.uends[0], out.iters, out.res_hist, out.k
+
+    return fused
+
+
+def build_fused_many(ctrl, fused):
+    """Scan the single-block program over consecutive FULL blocks.
+
+    The uend -> next-u0 chain stays on device, so a whole time-marching run
+    (serial SDC included, P=1) executes with zero host syncs; iteration
+    counts and residual histories come back stacked per block."""
+    P = ctrl.num_procs
+    window = jnp.ones((P,), bool)
+
+    def fused_many(u0, dt, starts):
+        def block(u_carry, t_start):
+            t_arr = t_start + dt * jnp.arange(P)
+            uend_block, iters, res_hist, _ = fused(u_carry, t_arr, dt, window)
+            return uend_block[P - 1], (iters, res_hist)
+
+        uend, (iters_all, res_all) = jax.lax.scan(block, u0, starts)
+        return uend, iters_all, res_all
+
+    return fused_many
+
+
+def run_fused(ctrl, u0, t0, Tend):
+    """Whole-block device-resident run loop for a ShardedController.
+
+    Mirrors ControllerNonMPI.run's block marching (without restarts, which
+    eligibility excludes) and returns ``(uend, stats)`` with the default
+    stats entries synthesized from the device-returned iteration counts and
+    residual history.
+    """
+    from pysdc_tpu.parallel.nonmpi import _horizon_slack
+
+    check_fused_eligibility(ctrl)
+    if getattr(ctrl, '_fused_fn', None) is None:
+        raw = build_fused_block(ctrl)
+        ctrl._fused_fn = jax.jit(raw)
+        ctrl._fused_many_fn = jax.jit(build_fused_many(ctrl, raw))
+
+    for hook in ctrl.hooks:
+        hook.reset_stats()
+    hooks0 = ctrl.hooks[0]
+
+    P = ctrl.num_procs
+    dt = float(ctrl.MS[0].levels[0].params.dt)
+    maxiter = int(ctrl.MS[0].params.maxiter)
+    nsw = ctrl.nsweeps[0]
+    slack = _horizon_slack(Tend)
+    # time scalars enter the device program in the problem's dtype: wider
+    # (x64-default) scalars would promote the f32 carry and break the
+    # while_loop's fixed-point typing
+    wdtype = ctrl.blocks[0].level.prob.dtype or jnp.float64
+
+    converged = True
+
+    def emit_stats(t_block, iters_h, res_h, n_active):
+        nonlocal converged
+        for p in range(n_active):
+            t_p = float(t_block + dt * p)
+            niter = int(iters_h[p])
+            converged = converged and niter < maxiter
+            for it in range(1, niter + 1):
+                hooks0.add_to_stats(
+                    process=p, time=t_p, level=-1, iter=it, sweep=nsw,
+                    type='residual_post_iteration', value=float(res_h[it, p]),
+                )
+            final_sweep = nsw if niter > 0 else 1
+            for typ, val in (
+                ('niter', niter),
+                ('residual_post_step', float(res_h[niter, p])),
+                ('dt', dt),
+            ):
+                hooks0.add_to_stats(
+                    process=p, time=t_p, level=0, iter=niter, sweep=final_sweep,
+                    type=typ, value=val,
+                )
+
+    uend = jnp.asarray(u0)
+    t = t0
+    n_steps = int(np.ceil((Tend - t0 - slack) / dt))
+    n_full = n_steps // P
+    if n_full > 0:
+        # all full blocks march in ONE device program (scan over blocks)
+        starts = jnp.asarray(t0 + dt * P * np.arange(n_full), wdtype)
+        uend, iters_all, res_all = ctrl._fused_many_fn(uend, jnp.asarray(dt, wdtype), starts)
+        iters_all = np.asarray(iters_all)
+        res_all = np.asarray(res_all)
+        for b in range(n_full):
+            emit_stats(t0 + b * P * dt, iters_all[b], res_all[b], P)
+        t = t0 + n_full * P * dt
+
+    while t < Tend - slack:  # partial tail block (prefix window)
+        n_active = min(P, int(np.ceil((Tend - t - slack) / dt)))
+        window = jnp.asarray(np.arange(P) < n_active)
+        t_arr = jnp.asarray(t + dt * np.arange(P), wdtype)
+        uend_block, iters, res_hist, _ = ctrl._fused_fn(uend, t_arr, jnp.asarray(dt, wdtype), window)
+        emit_stats(t, np.asarray(iters), np.asarray(res_hist), n_active)
+        uend = uend_block[n_active - 1]
+        t += n_active * dt
+
+    ctrl._fused_converged = converged
+    return uend, ctrl.return_stats()

@@ -209,6 +209,75 @@ class _BlockLevel:
                 uend_new = jax.lax.with_sharding_constraint(uend_new, self._time_spec(uend_new))
             return states_new, uend_new
 
+        def coarse_chain_owner(states, uend, t_arr, dt, recv_mask, active, k):
+            """Owner-computes Gauss-Seidel chain: the block stays
+            time-sharded and ONLY the device owning the current step(s)
+            sweeps — a per-device ``lax.cond`` inside ``shard_map`` — while
+            uend rides a ppermute ring to the successor.  Unlike the
+            replicated/pipelined chains (which make every chip redundantly
+            execute the whole serial chain), total work is one sweep per
+            step; idle chips wait at the ring permute, so the wall-clock
+            is still the chain latency.  Requires a time-only mesh with
+            P % n_time == 0 (checked in select_coarse_impl)."""
+            from jax.experimental.shard_map import shard_map
+
+            n_time = mesh.shape['time']
+            B = self.P // n_time
+
+            def tree_idx(tree, i):
+                return jax.tree_util.tree_map(
+                    lambda a: jax.lax.dynamic_index_in_dim(a, i, 0, keepdims=False), tree
+                )
+
+            def tree_put(tree, val, i):
+                return jax.tree_util.tree_map(
+                    lambda a, v: jax.lax.dynamic_update_index_in_dim(a, v, i, 0), tree, val
+                )
+
+            def local(st, ue, t_l, dt, recv_l, act_l):
+                me = jax.lax.axis_index('time')
+
+                def my_block(carry):
+                    st, ue, ue_in = carry
+
+                    def step_body(i, c):
+                        st, ue, prev_ue = c
+                        s_i = tree_idx(st, i)
+                        recv_i, act_i = recv_l[i], act_l[i]
+                        s_i = set_u0_one(s_i, prev_ue, t_l[i], jnp.logical_and(recv_i, act_i))
+                        s_sw = sweep.update_nodes(prob, s_i, t_l[i], dt, k)
+                        ue_sw = sweep.compute_end_point(s_sw, t_l[i], dt)
+                        s_out = jax.tree_util.tree_map(
+                            lambda a, b: jnp.where(act_i, a, b), s_sw, s_i
+                        )
+                        ue_out = jnp.where(act_i, ue_sw, ue[i])
+                        return tree_put(st, s_out, i), ue.at[i].set(ue_out), ue_out
+
+                    st, ue, _ = jax.lax.fori_loop(0, B, step_body, (st, ue, ue_in))
+                    return st, ue
+
+                def round_body(q, carry):
+                    st, ue, ue_prev = carry
+                    st, ue = jax.lax.cond(
+                        me == q, my_block, lambda c: (c[0], c[1]), (st, ue, ue_prev)
+                    )
+                    ue_next = jax.lax.ppermute(
+                        ue[B - 1], 'time', [(i, (i + 1) % n_time) for i in range(n_time)]
+                    )
+                    return st, ue, ue_next
+
+                st, ue, _ = jax.lax.fori_loop(0, n_time, round_body, (st, ue, st.u[0, 0]))
+                return st, ue
+
+            P = jax.sharding.PartitionSpec
+            state_specs = jax.tree_util.tree_map(lambda a: P('time'), states)
+            return shard_map(
+                local,
+                mesh=mesh,
+                in_specs=(state_specs, P('time'), P('time'), P(), P('time'), P('time')),
+                out_specs=(state_specs, P('time')),
+            )(states, uend, t_arr, dt, recv_mask, active)
+
         self.predict = jax.jit(predict)
         self.sweep = jax.jit(do_sweep, static_argnums=(4,))
         self.residual = jax.jit(residual)
@@ -216,25 +285,65 @@ class _BlockLevel:
         self.shift_recv = jax.jit(shift_recv)
         self._coarse_replicated = jax.jit(coarse_chain_replicated, static_argnums=(6,))
         self._coarse_pipelined = jax.jit(coarse_chain_pipelined, static_argnums=(6,))
+        self._coarse_owner = jax.jit(coarse_chain_owner, static_argnums=(6,))
         self.coarse_chain = self._coarse_replicated
+        self._coarse_owner_raw = coarse_chain_owner
+
+        # unjitted building blocks for the fused whole-block program
+        # (parallel/fused.py composes them into one lax.while_loop)
+        from types import SimpleNamespace
+
+        self.raw = SimpleNamespace(
+            predict=predict,
+            sweep=do_sweep,
+            residual=residual,
+            endpoint=endpoint,
+            shift_recv=shift_recv,
+            coarse_replicated=coarse_chain_replicated,
+            coarse_pipelined=coarse_chain_pipelined,
+            coarse_owner=coarse_chain_owner,
+        )
+
+    def _owner_chain_eligible(self):
+        """The owner-computes chain needs the block time-sharded on a
+        time-only mesh (other axes would appear in its shard_map specs)."""
+        m = self.mesh
+        return (
+            m is not None
+            and 'time' in m.axis_names
+            and m.shape['time'] > 1
+            and self.P % m.shape['time'] == 0
+            and all(m.shape[ax] == 1 for ax in m.axis_names if ax != 'time')
+        )
 
     def select_coarse_impl(self, mode='auto', threshold_bytes=4 << 20):
         """Pick the Gauss-Seidel chain implementation.
 
-        'replicated' all-gathers the coarse block once per chain (cheapest
-        at toy sizes); 'pipelined' keeps the block time-sharded and moves
-        one step's state per round (bounded memory — the scale-out choice).
-        'auto' switches to pipelined once the replicated block would exceed
-        ``threshold_bytes`` per chip."""
+        'owner' keeps the block time-sharded and only the owning device
+        sweeps each round (uend rides a ppermute ring) — no redundant
+        compute, the scale-out default on a time-sharded mesh.
+        'replicated' all-gathers the coarse block once per chain and every
+        chip redundantly computes the whole chain (lowest latency at toy
+        sizes); 'pipelined' moves one step's state per round (bounded
+        memory when the owner layout is unavailable).  'auto' prefers
+        'owner' on eligible meshes, then sizes between the other two via
+        ``threshold_bytes``."""
         if mode == 'auto':
-            prob = self.level.prob
-            M = self.level.sweep.coll.num_nodes
-            itemsize = jnp.dtype(prob.dtype or jnp.float64).itemsize
-            est = self.P * int(np.prod(prob.shape)) * itemsize * (3 * M + 2)
-            mode = 'pipelined' if est > threshold_bytes else 'replicated'
-        self.coarse_chain = (
-            self._coarse_pipelined if mode == 'pipelined' else self._coarse_replicated
-        )
+            if self._owner_chain_eligible():
+                mode = 'owner'
+            else:
+                prob = self.level.prob
+                M = self.level.sweep.coll.num_nodes
+                itemsize = jnp.dtype(prob.dtype or jnp.float64).itemsize
+                est = self.P * int(np.prod(prob.shape)) * itemsize * (3 * M + 2)
+                mode = 'pipelined' if est > threshold_bytes else 'replicated'
+        if mode == 'owner' and not self._owner_chain_eligible():
+            raise ControllerError('owner coarse chain needs a time-only mesh dividing P')
+        self.coarse_chain = {
+            'owner': self._coarse_owner,
+            'pipelined': self._coarse_pipelined,
+            'replicated': self._coarse_replicated,
+        }[mode]
         return mode
 
     def reset(self):
@@ -264,6 +373,8 @@ class _BlockTransfer:
 
         self.restrict = jax.jit(restrict)
         self.prolong = jax.jit(prolong)
+        self.restrict_raw = restrict
+        self.prolong_raw = prolong
 
 
 class ShardedController(ControllerNonMPI):
@@ -275,21 +386,30 @@ class ShardedController(ControllerNonMPI):
         self.mesh = mesh
         super().__init__(num_procs, controller_params, description)
 
-        # Route shifted solves through the full complex-FFT path when
-        # sharded: XLA's fft thunk hits a layout RET_CHECK on GSPMD-sharded
-        # rfft operands of host-emulated meshes (see
-        # SeparableFDOperator.disable_rfft).
+        # GSPMD workarounds, scoped to what actually breaks:
+        #  - rfft: XLA's fft thunk hits a layout RET_CHECK only when the FFT
+        #    dims themselves are sharded (a 'space' axis); time/node-sharded
+        #    operands keep the fast real-FFT lane (the full complex path
+        #    costs 2x and erases the time-parallel win).
+        #  - pallas_call: an opaque custom call GSPMD cannot partition — it
+        #    would all-gather the block; sharded applies stay on rolls.
         if mesh is not None:
             from pysdc_tpu.ops.linop import SeparableFDOperator
 
+            space_sharded = dict(mesh.shape).get('space', 1) > 1
             for S in self.MS:
                 for lvl in S.levels:
                     for attr in vars(lvl.prob).values():
                         if isinstance(attr, SeparableFDOperator):
-                            attr.disable_rfft()
-                            # pallas_call is an opaque custom call GSPMD
-                            # cannot partition; sharded applies stay on rolls
+                            if space_sharded:
+                                attr.disable_rfft()
                             attr.disable_pallas()
+                if space_sharded:
+                    from pysdc_tpu.transfer.space_mesh import MeshTransfer
+
+                    for bt in S.base_transfers:
+                        if isinstance(bt.space_transfer, MeshTransfer):
+                            bt.space_transfer.disable_stencils()
 
         # one compile serves all shadow steps: share the template step's
         # jitted level kernels (shapes and configs are identical; mutable
@@ -318,6 +438,17 @@ class ShardedController(ControllerNonMPI):
     @property
     def template(self):
         return self.MS[0]
+
+    def run_fused(self, u0, t0, Tend):
+        """Whole-block device-resident run (parallel/fused.py): the entire
+        PFASST iterate-until-converged loop compiles to ONE XLA program per
+        block with zero host syncs.  Same uend and iteration counts as
+        :meth:`run` (gated in tests/test_fused.py); stats carry the default
+        entries only.  Raises ControllerError for configurations needing the
+        stage machine (adaptivity, e_tol, k-dependent preconditioners)."""
+        from pysdc_tpu.parallel.fused import run_fused as _run_fused
+
+        return _run_fused(self, u0, t0, Tend)
 
     # -- helpers ----------------------------------------------------------
     def _mask_of(self, steps):

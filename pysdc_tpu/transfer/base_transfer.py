@@ -52,9 +52,66 @@ class BaseTransfer:
             fine_prob=self.fine.prob, coarse_prob=self.coarse.prob, params=space_transfer_params
         )
 
+        coarse_op = self.params.get('coarse_op', 'rediscretize')
+        if coarse_op == 'galerkin':
+            self._install_galerkin_coarse_operator()
+        elif coarse_op != 'rediscretize':
+            raise ValueError(f"coarse_op must be 'rediscretize' or 'galerkin', got {coarse_op!r}")
+
         self._restrict_jit = jax.jit(self._restrict_pure)
         self._prolong_jit = jax.jit(self._prolong_pure)
         self._prolong_f_jit = jax.jit(self._prolong_f_pure)
+
+    def _install_galerkin_coarse_operator(self):
+        """Replace the coarse level's re-discretized operator with the
+        variational Galerkin product ``A_c = R A_f P``, assembled by SpGEMM
+        (:func:`pysdc_tpu.ops.sparse.galerkin_product`) from the transfer's
+        own per-axis interpolation matrices.  This is the sparse-P/R role of
+        the reference's transfer machinery (``helpers/transfer_helper.py:
+        91-139``) taken to its SpGEMM conclusion: the coarse operator comes
+        from the fine one algebraically instead of by re-discretization.
+        Requires both problems on the assembled-CSR backend
+        (``backend='sparse'``) and a MeshTransfer space transfer."""
+        import numpy as np
+
+        from pysdc_tpu.core.errors import TransferError
+        from pysdc_tpu.ops.sparse import CSR, galerkin_product
+        from pysdc_tpu.ops.sparse_op import SparseOperator
+
+        st = self.space_transfer
+        A_f = getattr(self.fine.prob, 'A', None)
+        A_c_old = getattr(self.coarse.prob, 'A', None)
+        if not (isinstance(A_f, SparseOperator) and isinstance(A_c_old, SparseOperator)):
+            raise TransferError(
+                "coarse_op='galerkin' needs assembled CSR operators on both levels "
+                "(problem backend='sparse')"
+            )
+        if not hasattr(st, 'P_1d'):
+            raise TransferError("coarse_op='galerkin' needs a MeshTransfer space transfer")
+        if A_c_old.bc_rhs is not None and np.any(np.asarray(A_c_old.bc_rhs)):
+            raise TransferError(
+                "coarse_op='galerkin' supports homogeneous boundaries only "
+                '(inhomogeneous bc_rhs would need its own restriction)'
+            )
+
+        P_nd = R_nd = None
+        for P1, R1 in zip(st.P_1d, st.R_1d):
+            Pc = CSR.from_dense(np.asarray(P1))
+            Rc = CSR.from_dense(np.asarray(R1))
+            P_nd = Pc if P_nd is None else P_nd.kron(Pc)
+            R_nd = Rc if R_nd is None else R_nd.kron(Rc)
+
+        A_c = galerkin_product(P_nd, A_f.A, R_nd)
+        self.coarse.prob.A = SparseOperator(
+            A_c, grid_shape=self.coarse.prob.shape, bc_rhs=None
+        )
+        # the level factored (I - dt*q*A) for the old operator at setup;
+        # redo it for the Galerkin one
+        QI = getattr(self.coarse.sweep, 'QI', None)
+        if QI is not None and self.coarse.params.dt is not None:
+            self.coarse.prob.prepare_node_solvers(
+                float(self.coarse.params.dt), np.diag(np.asarray(QI))[1:]
+            )
 
     @staticmethod
     def get_transfer_matrix_Q(f_nodes, c_nodes) -> np.ndarray:

@@ -74,8 +74,53 @@ def interpolation_matrix_1d(
     return M[:, pad:-pad] if pad > 0 else M
 
 
+def _stride_circulant_stencil(M: np.ndarray, s: int, transpose_stride: bool):
+    """Detect stride-circulant structure and extract the banded stencil.
+
+    Prolongation (nf, nc) matrices on nested uniform periodic grids satisfy
+    ``M[q*s + r] == roll(M[r], q)``: each of the s fine residues applies one
+    fixed k-point stencil to the coarse array.  Restriction (nc, nf)
+    matrices satisfy ``M[q] == roll(M[0], q*s)``.  Returns per-residue
+    (offsets, weights) lists, or None when the structure does not hold
+    (non-nested or Dirichlet grids fall back to the dense matmul)."""
+    n_out, n_in = M.shape
+    if transpose_stride:  # restriction: one residue, stride on the input axis
+        if n_in % n_out or n_in // n_out != s:
+            return None
+        base = M[0]
+        for q in range(1, n_out):
+            if not np.allclose(M[q], np.roll(base, q * s), atol=1e-14):
+                return None
+        cols = np.nonzero(np.abs(base) > 1e-15)[0]
+        if cols.size > 4 * s + 4:
+            return None
+        offs = np.where(cols > n_in // 2, cols - n_in, cols)  # centered wrap
+        return [(offs, base[cols])]
+    if n_out % n_in or n_out // n_in != s:
+        return None
+    stencils = []
+    for r in range(s):
+        base = M[r]
+        for q in range(1, n_in):
+            if not np.allclose(M[q * s + r], np.roll(base, q), atol=1e-14):
+                return None
+        cols = np.nonzero(np.abs(base) > 1e-15)[0]
+        if cols.size > 8:
+            return None
+        offs = np.where(cols > n_in // 2, cols - n_in, cols)
+        stencils.append((offs, base[cols]))
+    return stencils
+
+
 class MeshTransfer:
-    """Space transfer with per-axis dense interpolation/restriction matrices.
+    """Space transfer with per-axis interpolation/restriction operators.
+
+    On nested uniform periodic grids the Lagrange matrices are
+    stride-circulant and are applied as k-term roll/stride stencils —
+    O(n*k) per axis instead of the O(n_f*n_c) dense matmul, which at PFASST
+    transfer time otherwise costs as much as a full sweep (the reference
+    keeps them sparse for the same reason, helpers/transfer_helper.py:91).
+    Non-nested or Dirichlet grids use the dense tensordot.
 
     params: iorder (default 2), rorder (2), periodic (False), pad (1).
     """
@@ -96,10 +141,13 @@ class MeshTransfer:
         self.fine_shape, self.coarse_shape = f_shape, c_shape
 
         self.P_1d, self.R_1d = [], []
+        self.P_sten, self.R_sten = [], []  # (s, stencils) per axis, or None
         for nf, nc in zip(f_shape, c_shape):
             if nf == nc:
                 self.P_1d.append(np.eye(nf))
                 self.R_1d.append(np.eye(nf))
+                self.P_sten.append(None)
+                self.R_sten.append(None)
                 continue
             if self.periodic:
                 fine_grid = np.arange(nf) / nf
@@ -116,24 +164,84 @@ class MeshTransfer:
                 ).T
             self.P_1d.append(P)
             self.R_1d.append(R)
+            s = nf // nc if (self.periodic and nf % nc == 0) else 0
+            self.P_sten.append(
+                (s, _stride_circulant_stencil(P, s, transpose_stride=False)) if s else None
+            )
+            self.R_sten.append(
+                (s, _stride_circulant_stencil(R, s, transpose_stride=True)) if s else None
+            )
+            if self.P_sten[-1] and self.P_sten[-1][1] is None:
+                self.P_sten[-1] = None
+            if self.R_sten[-1] and self.R_sten[-1][1] is None:
+                self.R_sten[-1] = None
+
+    def disable_stencils(self):
+        """Fall back to the dense tensordot on every axis.
+
+        Used by the sharded controller when a 'space' mesh axis shards the
+        transfer dimensions: GSPMD mispartitions the strided
+        roll/interleave pattern next to sharded FFTs (c64/c128 verifier
+        failure), while the dense contraction partitions cleanly."""
+        self.P_sten = [None] * len(self.P_sten)
+        self.R_sten = [None] * len(self.R_sten)
 
     @staticmethod
-    def _apply_per_axis(mats, x, ndim_space):
+    def _stencil_restrict_axis(s, stencil, x):
+        """out[q] = sum_j w_j x[(q*s + off_j) % nf] along the last axis."""
+        (offs, w), = stencil
+        acc = None
+        for o, wj in zip(offs, w):
+            # float(): numpy scalars are strong-typed and would promote
+            # float32 fields to float64 under x64
+            term = float(wj) * jnp.roll(x, -int(o), axis=-1)
+            acc = term if acc is None else acc + term
+        return acc[..., ::s]
+
+    @staticmethod
+    def _stencil_prolong_axis(s, stencils, x):
+        """out[q*s + r] = sum_j w_rj x[(q + off_rj) % nc] along the last axis."""
+        outs = []
+        for offs, w in stencils:
+            acc = None
+            for o, wj in zip(offs, w):
+                term = float(wj) * jnp.roll(x, -int(o), axis=-1)
+                acc = term if acc is None else acc + term
+            outs.append(acc)
+        stacked = jnp.stack(outs, axis=-1)  # (..., nc, s)
+        return stacked.reshape(x.shape[:-1] + (x.shape[-1] * s,))
+
+    def _apply_per_axis(self, mats, stens, x, ndim_space, kind):
         from pysdc_tpu.core.precision import COEFF_PRECISION
 
         offset = x.ndim - ndim_space
-        for axis, M in enumerate(mats):
+        for axis, (M, sten) in enumerate(zip(mats, stens)):
             ax = axis + offset
-            x = jnp.moveaxis(
-                jnp.tensordot(jnp.asarray(M, x.dtype), x, axes=(1, ax), precision=COEFF_PRECISION), 0, ax
-            )
+            if sten is not None:
+                s, stencil = sten
+                moved = jnp.moveaxis(x, ax, -1)
+                out = (
+                    self._stencil_restrict_axis(s, stencil, moved)
+                    if kind == 'restrict'
+                    else self._stencil_prolong_axis(s, stencil, moved)
+                )
+                x = jnp.moveaxis(out, -1, ax)
+            else:
+                x = jnp.moveaxis(
+                    jnp.tensordot(jnp.asarray(M, x.dtype), x, axes=(1, ax), precision=COEFF_PRECISION),
+                    0, ax,
+                )
         return x
 
     def restrict(self, F):
         """Fine -> coarse on arrays or pytrees with trailing space dims."""
         nd = len(self.fine_shape)
-        return jax.tree_util.tree_map(lambda leaf: self._apply_per_axis(self.R_1d, leaf, nd), F)
+        return jax.tree_util.tree_map(
+            lambda leaf: self._apply_per_axis(self.R_1d, self.R_sten, leaf, nd, 'restrict'), F
+        )
 
     def prolong(self, G):
         nd = len(self.coarse_shape)
-        return jax.tree_util.tree_map(lambda leaf: self._apply_per_axis(self.P_1d, leaf, nd), G)
+        return jax.tree_util.tree_map(
+            lambda leaf: self._apply_per_axis(self.P_1d, self.P_sten, leaf, nd, 'prolong'), G
+        )

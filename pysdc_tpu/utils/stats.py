@@ -1,57 +1,62 @@
 """Stats filtering/sorting utilities.
 
-Same post-processing surface as the reference ``helpers/stats_helper.py``:
-``filter_stats`` (with restart-aware pruning), ``sort_stats``,
-``get_list_of_types`` and the one-call ``get_sorted``.
+Covers the post-processing surface of the reference's stats helpers
+(``helpers/stats_helper.py:4-111``): field-filtered extraction with
+restart-aware pruning, sorting by any Entry field, and the one-call
+``get_sorted``.
 """
 
 from __future__ import annotations
 
-import numpy as np
 
+def filter_stats(stats, recomputed=None, **conditions):
+    """Entries matching the given Entry-field conditions (None = wildcard).
 
-def filter_stats(stats, recomputed=None, **kwargs):
-    """Extract entries matching the given Entry-field filters; with
-    ``recomputed`` set (not None), drop values superseded by restarts."""
-    result = {}
-    for k, v in stats.items():
-        if all(k._asdict().get(k2, None) == v2 for k2, v2 in kwargs.items() if v2 is not None):
-            result[k] = v
+    When ``recomputed`` is given (any non-None value), entries invalidated
+    by restarts are pruned: within each (time, type) group only the newest
+    restart generation survives, and whole times flagged by a truthy
+    ``_recomputed`` marker are dropped.
+    """
+    wanted = {field: v for field, v in conditions.items() if v is not None}
+    picked = {
+        e: val
+        for e, val in stats.items()
+        if all(getattr(e, field, None) == want for field, want in wanted.items())
+    }
+    if recomputed is None:
+        return picked
 
-    if recomputed is not None:
-        times_restarted = np.unique([me.time for me in result.keys() if me.num_restarts > 0])
-        for t in times_restarted:
-            restarts = {}
-            stats_now = filter_stats(result, time=t)
-            for me in stats_now.keys():
-                restarts[me.type] = max(restarts.get(me.type, 0), me.num_restarts)
-            for type_, num_restarts_ in restarts.items():
-                for i in range(num_restarts_):
-                    for you in list(filter_stats(stats_now, type=type_, num_restarts=i).keys()):
-                        result.pop(you, None)
+    # newest restart generation per (time, type); groups that never
+    # restarted have no entry here and survive untouched
+    newest = {}
+    for e in picked:
+        if e.num_restarts:
+            key = (e.time, e.type)
+            newest[key] = max(newest.get(key, 0), e.num_restarts)
+    picked = {
+        e: val
+        for e, val in picked.items()
+        if e.num_restarts >= newest.get((e.time, e.type), 0)
+    }
 
-        if kwargs.get('type', None) != '_recomputed':
-            other_restarted_steps = [
-                key for key, val in filter_stats(stats, type='_recomputed', recomputed=False).items() if val
-            ]
-            for step in other_restarted_steps:
-                for me in list(filter_stats(result, time=step.time).keys()):
-                    result.pop(me, None)
+    # drop times whose final verdict is "this step was recomputed elsewhere"
+    if wanted.get('type') != '_recomputed':
+        markers = filter_stats(stats, recomputed=False, type='_recomputed')
+        dead_times = {e.time for e, truthy in markers.items() if truthy}
+        if dead_times:
+            picked = {e: val for e, val in picked.items() if e.time not in dead_times}
 
-    return result
+    return picked
 
 
 def sort_stats(stats, sortby):
-    result = [(getattr(k, sortby), v) for k, v in stats.items()]
-    return sorted(result, key=lambda tup: tup[0])
+    """(key_field, value) pairs ordered by the chosen Entry field."""
+    return sorted(((getattr(e, sortby), val) for e, val in stats.items()), key=lambda kv: kv[0])
 
 
 def get_list_of_types(stats):
-    type_list = []
-    for k in stats.keys():
-        if k.type not in type_list:
-            type_list.append(k.type)
-    return type_list
+    """Distinct entry types, in first-seen order."""
+    return list(dict.fromkeys(e.type for e in stats))
 
 
 def get_sorted(stats, sortby='time', **kwargs):

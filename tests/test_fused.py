@@ -1,0 +1,180 @@
+"""Fused device-resident block runner vs the stage-machine controllers.
+
+The fused path (parallel/fused.py) compiles the whole PFASST block solve —
+predictor plus iterate-until-converged loop — into one XLA program.  These
+tests pin it entry-for-entry against the slow sharded path and the virtual
+controller: identical iteration counts and matching uend (the reference's
+controller-equivalence invariant, tests/test_tutorials/test_step_6.py:26-42).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pysdc_tpu.core.errors import ControllerError
+from pysdc_tpu.models.heat import HeatND
+from pysdc_tpu.parallel.mesh import make_mesh
+from pysdc_tpu.parallel.nonmpi import ControllerNonMPI
+from pysdc_tpu.parallel.sharded import ShardedController
+from pysdc_tpu.sweepers.generic_implicit import GenericImplicit
+from pysdc_tpu.utils.stats import get_sorted
+
+
+def _desc(nvars, **level_overrides):
+    level_params = dict(restol=5e-10, dt=0.125)
+    level_params.update(level_overrides)
+    return dict(
+        problem_class=HeatND,
+        problem_params=dict(nu=0.1, freq=2, nvars=nvars, bc='dirichlet-zero'),
+        sweeper_class=GenericImplicit,
+        sweeper_params=dict(quad_type='RADAU-RIGHT', num_nodes=[3], QI='LU'),
+        level_params=level_params,
+        step_params=dict(maxiter=50),
+        space_transfer_params=dict(rorder=2, iorder=6),
+    )
+
+
+def _run_pair(num_procs, cp, desc, Tend=1.0, mesh=None):
+    """Run the virtual controller and the fused sharded path on one config."""
+    ref = ControllerNonMPI(num_procs, cp, desc)
+    P = ref.MS[0].levels[0].prob
+    u0 = P.u_exact(0.0)
+    u_ref, s_ref = ref.run(u0, 0.0, Tend)
+
+    sh = ShardedController(num_procs, cp, desc, mesh=mesh)
+    u_fu, s_fu = sh.run_fused(u0, 0.0, Tend)
+    return (u_ref, s_ref), (u_fu, s_fu)
+
+
+def _niters(stats):
+    return [(round(t, 10), int(v)) for t, v in get_sorted(stats, type='niter')]
+
+
+@pytest.mark.parametrize('num_procs', [2, 4])
+def test_fused_matches_virtual_pfasst(num_procs):
+    cp = {'logger_level': 40, 'predict_type': 'pfasst_burnin'}
+    (u_ref, s_ref), (u_fu, s_fu) = _run_pair(num_procs, cp, _desc([63, 31]))
+    assert _niters(s_ref) == _niters(s_fu)
+    assert float(jnp.max(jnp.abs(u_ref - u_fu))) < 1e-11
+
+
+def test_fused_matches_slow_sharded_on_mesh():
+    """Fused vs slow sharded path on the real 8-device emulated mesh."""
+    desc = _desc([63, 31])
+    cp = {'logger_level': 40, 'predict_type': 'pfasst_burnin'}
+    mesh = make_mesh(n_time=4, n_space=1)
+
+    sh = ShardedController(4, cp, desc, mesh=mesh)
+    P = sh.MS[0].levels[0].prob
+    u0 = P.u_exact(0.0)
+    u_slow, s_slow = sh.run(u0, 0.0, 1.0)
+    u_fu, s_fu = sh.run_fused(u0, 0.0, 1.0)
+
+    assert _niters(s_slow) == _niters(s_fu)
+    assert float(jnp.max(jnp.abs(u_slow - u_fu))) < 1e-11
+    # residual trajectories agree at every recorded iteration
+    r_slow = {(round(e.time, 10), e.iter): v for e, v in s_slow.items() if e.type == 'residual_post_iteration'}
+    r_fu = {(round(e.time, 10), e.iter): v for e, v in s_fu.items() if e.type == 'residual_post_iteration'}
+    assert set(r_slow) == set(r_fu)
+    for key in r_slow:
+        assert np.isclose(r_slow[key], r_fu[key], rtol=1e-6, atol=1e-13), key
+
+
+def test_fused_single_level_jacobi_mssdc():
+    desc = _desc(63)
+    cp = {'logger_level': 40}  # mssdc_jac defaults True
+    (u_ref, s_ref), (u_fu, s_fu) = _run_pair(4, cp, desc)
+    assert _niters(s_ref) == _niters(s_fu)
+    assert float(jnp.max(jnp.abs(u_ref - u_fu))) < 1e-11
+
+
+def test_fused_single_level_gauss_seidel_mssdc():
+    desc = _desc(63)
+    cp = {'logger_level': 40, 'mssdc_jac': False}
+    (u_ref, s_ref), (u_fu, s_fu) = _run_pair(4, cp, desc)
+    assert _niters(s_ref) == _niters(s_fu)
+    assert float(jnp.max(jnp.abs(u_ref - u_fu))) < 1e-11
+
+
+def test_fused_all_to_done():
+    desc = _desc([63, 31])
+    cp = {'logger_level': 40, 'predict_type': 'pfasst_burnin', 'all_to_done': True}
+    (u_ref, s_ref), (u_fu, s_fu) = _run_pair(4, cp, desc)
+    assert _niters(s_ref) == _niters(s_fu)
+    assert float(jnp.max(jnp.abs(u_ref - u_fu))) < 1e-11
+
+
+def test_fused_fine_only_predictor():
+    desc = _desc([63, 31])
+    cp = {'logger_level': 40, 'predict_type': 'fine_only'}
+    mesh = make_mesh(n_time=4, n_space=1)
+    sh = ShardedController(4, cp, desc, mesh=mesh)
+    P = sh.MS[0].levels[0].prob
+    u0 = P.u_exact(0.0)
+    u_slow, s_slow = sh.run(u0, 0.0, 1.0)
+    u_fu, s_fu = sh.run_fused(u0, 0.0, 1.0)
+    assert _niters(s_slow) == _niters(s_fu)
+    assert float(jnp.max(jnp.abs(u_slow - u_fu))) < 1e-11
+
+
+def test_fused_fmg_predictor():
+    desc = _desc([63, 31])
+    cp = {'logger_level': 40, 'predict_type': 'fmg'}
+    (u_ref, s_ref), (u_fu, s_fu) = _run_pair(4, cp, desc)
+    assert _niters(s_ref) == _niters(s_fu)
+    assert float(jnp.max(jnp.abs(u_ref - u_fu))) < 1e-11
+
+
+def test_fused_partial_final_block():
+    """Tend not a multiple of P*dt: the last block runs a prefix window."""
+    cp = {'logger_level': 40, 'predict_type': 'pfasst_burnin'}
+    (u_ref, s_ref), (u_fu, s_fu) = _run_pair(4, cp, _desc([63, 31]), Tend=0.75)
+    assert _niters(s_ref) == _niters(s_fu)
+    assert len(_niters(s_fu)) == 6  # 4 + 2 steps
+    assert float(jnp.max(jnp.abs(u_ref - u_fu))) < 1e-11
+
+
+def test_fused_maxiter_termination():
+    """Unreachable restol: every step must stop at maxiter (converged False)."""
+    desc = _desc([63, 31], restol=1e-30)
+    desc['step_params'] = dict(maxiter=3)
+    cp = {'logger_level': 40, 'predict_type': 'pfasst_burnin'}
+    (u_ref, s_ref), (u_fu, s_fu) = _run_pair(4, cp, desc, Tend=0.5)
+    assert _niters(s_ref) == _niters(s_fu)
+    assert all(v == 3 for _, v in _niters(s_fu))
+
+
+def test_fused_imex_problem():
+    """IMEX split RHS (pytree f) through the fused loop."""
+    from pysdc_tpu.models.allen_cahn import AllenCahnPeriodicSemiImplicitND
+    from pysdc_tpu.sweepers.imex import IMEXSweeper
+
+    desc = dict(
+        problem_class=AllenCahnPeriodicSemiImplicitND,
+        problem_params=dict(nvars=[(32, 32), (16, 16)], eps=0.2, radius=0.25),
+        sweeper_class=IMEXSweeper,
+        sweeper_params=dict(quad_type='RADAU-RIGHT', num_nodes=[3], QI='LU', QE='EE'),
+        level_params=dict(restol=1e-9, dt=1e-3),
+        step_params=dict(maxiter=50),
+        space_transfer_params=dict(rorder=2, iorder=6, periodic=True),
+    )
+    cp = {'logger_level': 40, 'predict_type': 'pfasst_burnin'}
+    ref = ControllerNonMPI(4, cp, desc)
+    P = ref.MS[0].levels[0].prob
+    u0 = P.u_exact(0.0)
+    u_ref, s_ref = ref.run(u0, 0.0, 4e-3)
+    sh = ShardedController(4, cp, desc)
+    u_fu, s_fu = sh.run_fused(u0, 0.0, 4e-3)
+    assert _niters(s_ref) == _niters(s_fu)
+    assert float(jnp.max(jnp.abs(u_ref - u_fu))) < 1e-10
+
+
+def test_fused_rejects_adaptivity():
+    from pysdc_tpu.convergence.adaptivity import Adaptivity
+
+    desc = _desc([63, 31], restol=-1.0)
+    desc['convergence_controllers'] = {Adaptivity: {'e_tol': 1e-7}}
+    cp = {'logger_level': 40, 'predict_type': 'pfasst_burnin'}
+    sh = ShardedController(4, cp, desc)
+    with pytest.raises(ControllerError, match='stage-machine'):
+        sh.run_fused(sh.MS[0].levels[0].prob.u_exact(0.0), 0.0, 1.0)

@@ -102,14 +102,14 @@ def test_sharded_time_space_mesh_2d():
 
 
 def test_pipelined_coarse_chain_matches_replicated():
-    """The time-sharded (one step materialized per round) Gauss-Seidel chain
-    is mathematically identical to the replicated scan: same iteration
-    counts, same solution."""
+    """All three Gauss-Seidel chain implementations — replicated scan,
+    time-sharded pipelined, and owner-computes shard_map ring — are
+    mathematically identical: same iteration counts, same solution."""
     desc = _desc([63, 31])
     cp = {'logger_level': 40, 'predict_type': 'pfasst_burnin'}
     P0 = None
     results = {}
-    for mode in ('replicated', 'pipelined'):
+    for mode in ('replicated', 'pipelined', 'owner'):
         mesh = make_mesh(n_time=4, n_space=1)
         sh = ShardedController(4, cp, desc, mesh=mesh, coarse_mode=mode)
         assert sh.coarse_mode == mode
@@ -117,18 +117,20 @@ def test_pipelined_coarse_chain_matches_replicated():
         u, s = sh.run(P0.u_exact(0.0), 0.0, 1.0)
         results[mode] = (u, [v for _, v in get_sorted(s, type='niter')])
     u_r, it_r = results['replicated']
-    u_p, it_p = results['pipelined']
-    assert it_r == it_p, f'iteration counts differ: {it_r} vs {it_p}'
-    assert float(jnp.max(jnp.abs(u_r - u_p))) < 1e-12
+    for mode in ('pipelined', 'owner'):
+        u_m, it_m = results[mode]
+        assert it_r == it_m, f'{mode}: iteration counts differ: {it_r} vs {it_m}'
+        assert float(jnp.max(jnp.abs(u_r - u_m))) < 1e-12, mode
 
 
 def test_coarse_mode_auto_selection():
     desc = _desc([63, 31])
     cp = {'logger_level': 40, 'predict_type': 'pfasst_burnin'}
     sh = ShardedController(4, cp, desc, mesh=make_mesh(n_time=4, n_space=1))
-    assert sh.coarse_mode == 'replicated'  # tiny coarse state
-    sh2 = ShardedController(4, cp, desc, mesh=make_mesh(n_time=4, n_space=1))
-    assert sh2.blocks[-1].select_coarse_impl('auto', threshold_bytes=1) == 'pipelined'
+    assert sh.coarse_mode == 'owner'  # time-only mesh -> owner-computes ring
+    sh_none = ShardedController(4, cp, desc)  # no mesh: owner ineligible
+    assert sh_none.coarse_mode == 'replicated'  # tiny coarse state
+    assert sh_none.blocks[-1].select_coarse_impl('auto', threshold_bytes=1) == 'pipelined'
 
 
 def test_sharded_three_axis_mesh():

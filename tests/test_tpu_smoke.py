@@ -101,3 +101,40 @@ def test_restol_reachable_in_float32():
     niter = [v for _, v in get_sorted(stats, type='niter')]
     # PFASST-typical iteration counts, NOT maxiter stalls
     assert max(niter) <= 10, f'residual floor suspected: niter={niter}'
+
+
+def test_fused_block_matches_stage_machine_on_device():
+    """The fused whole-block program (parallel/fused.py) must compile and
+    converge on the real chip with the same iteration counts as the
+    stage-machine controller — the bench's PFASST path rides it."""
+    from pysdc_tpu.models.heat import HeatND
+    from pysdc_tpu.parallel.nonmpi import ControllerNonMPI
+    from pysdc_tpu.parallel.sharded import ShardedController
+    from pysdc_tpu.sweepers.generic_implicit import GenericImplicit
+    from pysdc_tpu.utils.stats import get_sorted
+
+    P, dt = 4, 0.05
+    desc = dict(
+        problem_class=HeatND,
+        problem_params=dict(nu=0.1, freq=2, nvars=[(128, 128), (64, 64)], bc='periodic',
+                            dtype=jnp.float32),
+        sweeper_class=GenericImplicit,
+        sweeper_params=dict(quad_type='RADAU-RIGHT', num_nodes=[3], QI='LU'),
+        level_params=dict(restol=1e-3, dt=dt),
+        step_params=dict(maxiter=50),
+        space_transfer_params=dict(rorder=2, iorder=6, periodic=True),
+    )
+    cp = {'logger_level': 40, 'predict_type': 'pfasst_burnin'}
+
+    ref = ControllerNonMPI(P, cp, desc)
+    u0 = ref.MS[0].levels[0].prob.u_exact(0.0)
+    u_ref, s_ref = ref.run(u0, 0.0, 2 * P * dt)
+    it_ref = [(round(t, 10), int(v)) for t, v in get_sorted(s_ref, type='niter')]
+
+    sh = ShardedController(P, cp, desc)
+    u_fu, s_fu = sh.run_fused(u0, 0.0, 2 * P * dt)
+    it_fu = [(round(t, 10), int(v)) for t, v in get_sorted(s_fu, type='niter')]
+
+    assert it_ref == it_fu, f'{it_ref} vs {it_fu}'
+    assert max(v for _, v in it_fu) < 50  # restol reached, not maxiter
+    assert float(jnp.max(jnp.abs(u_ref - u_fu))) < 1e-5
