@@ -158,13 +158,17 @@ def bench_tpu_allen_cahn(n=1024, M=4, n_sweeps=10, reps=3):
     return nnz_per_sweep * n_sweeps * reps / elapsed, float(res)
 
 
-def bench_sparse_path(n=256, M=4, n_sweeps=10, reps=3, spmm_reps=50):
-    """North-star sparse stack on TPU: (a) the Pallas BSR SpMM kernel on a
-    2D variable-coefficient diffusion matrix batched over M nodes, and
-    (b) the full general sweep (ELL SpMV eval_f + block-Thomas shifted
-    solves) on the same non-separable operator — the path the eigen/FFT
-    fast lane cannot represent (reference analog: scipy CSR + splu,
-    generic_ND_FD.py:208-240)."""
+def bench_sparse_path(n=256, n_big=1024, M=4, n_sweeps=10, reps=3, spmm_reps=50):
+    """North-star sparse stack on TPU, 2D variable-coefficient diffusion —
+    the genuinely non-separable operator the eigen/FFT fast lane cannot
+    represent (reference analog: scipy CSR + splu, generic_ND_FD.py:208-240).
+
+    (a) DIA roll-based SpMV — the production eval_f (no gathers);
+    (b) the Pallas BSR SpMM kernel (the dense-block-coupling lane);
+    (c) the full general sweep: DIA eval_f + spectrally-preconditioned CG
+        shifted solves (separable surrogate on the eigen lane as the
+        preconditioner; iteration depth set by coefficient variation, not
+        grid size), at the scipy-matched size and at production size."""
     import jax
     import jax.numpy as jnp
 
@@ -176,7 +180,18 @@ def bench_sparse_path(n=256, M=4, n_sweeps=10, reps=3, spmm_reps=50):
     ndof = n * n
     nnz = prob.A.A.nnz
 
-    # (a) BSR SpMM over the node batch
+    # (a) DIA SpMV (the production eval_f)
+    u2 = jnp.asarray(np.random.default_rng(0).standard_normal((n, n)), jnp.float32)
+    apply_j = jax.jit(prob.A.apply)
+    y = apply_j(u2)
+    float(jnp.sum(y))
+    start = time.perf_counter()
+    for _ in range(spmm_reps):
+        y = apply_j(y)
+    float(jnp.sum(y))
+    dia_rate = nnz * spmm_reps / (time.perf_counter() - start)
+
+    # (b) Pallas BSR SpMM over the node batch
     u = jnp.asarray(np.random.default_rng(0).standard_normal((ndof, M)), jnp.float32)
     y = prob.A.apply_bsr(u)
     float(jnp.sum(y))
@@ -186,29 +201,51 @@ def bench_sparse_path(n=256, M=4, n_sweeps=10, reps=3, spmm_reps=50):
     float(jnp.sum(y))
     spmm_rate = nnz * M * spmm_reps / (time.perf_counter() - start)
 
-    # (b) general sweep through the sparse operator
-    sweep = GenericImplicit({'num_nodes': M, 'quad_type': 'RADAU-RIGHT', 'QI': 'LU'})
+    # (c) general sweeps at matched + production sizes
+    def sweep_rate_at(nn):
+        p = (
+            prob
+            if nn == n
+            else VarCoeffDiffusion2D(nvars=(nn, nn), coeff_fn=coeff, dtype=jnp.float32)
+        )
+        sweep = GenericImplicit({'num_nodes': M, 'quad_type': 'RADAU-RIGHT', 'QI': 'LU'})
 
-    @jax.jit
-    def one_sweep(state, t, dt):
-        new = sweep.update_nodes(prob, state, t, dt, 0)
-        _, res = sweep.compute_residual(new, dt)
-        return new, res
+        @jax.jit
+        def one_sweep(state, t, dt):
+            new = sweep.update_nodes(prob=p, state=state, t=t, dt=dt, k=0)
+            _, res = sweep.compute_residual(new, dt)
+            return new, res
 
-    dt = jnp.asarray(1e-3, jnp.float32)
-    t = jnp.asarray(0.0, jnp.float32)
-    X, Y = prob.grids
-    u0 = (jnp.sin(jnp.pi * X) * jnp.sin(jnp.pi * Y)).astype(jnp.float32)
-    state = sweep.predict(prob, u0, t, dt, 0.0)
-    state, res = one_sweep(state, t, dt)
-    float(res)
-    start = time.perf_counter()
-    for _ in range(reps):
-        for _ in range(n_sweeps):
-            state, res = one_sweep(state, t, dt)
-    float(res)
-    sweep_rate = M * nnz * n_sweeps * reps / (time.perf_counter() - start)
-    return spmm_rate, sweep_rate, float(res)
+        dt = jnp.asarray(1e-3, jnp.float32)
+        t = jnp.asarray(0.0, jnp.float32)
+        X, Y = p.grids
+        u0 = (jnp.sin(jnp.pi * X) * jnp.sin(jnp.pi * Y)).astype(jnp.float32)
+        state = sweep.predict(p, u0, t, dt, 0.0)
+        state, res = one_sweep(state, t, dt)
+        float(res)
+        start = time.perf_counter()
+        for _ in range(reps):
+            for _ in range(n_sweeps):
+                state, res = one_sweep(state, t, dt)
+        float(res)
+        rate = M * p.A.A.nnz * n_sweeps * reps / (time.perf_counter() - start)
+        _, iters = p.A.solve_shifted_info(u0, 1e-3 * 0.3)
+        return rate, float(res), int(iters)
+
+    rate_matched, res_matched, iters_matched = sweep_rate_at(n)
+    rate_big, res_big, iters_big = sweep_rate_at(n_big)
+    return dict(
+        dia_spmv_gnnz_s=round(dia_rate / 1e9, 3),
+        bsr_spmm_gnnz_s=round(spmm_rate / 1e9, 3),
+        sweep_matched_gnnz_s=round(rate_matched / 1e9, 3),
+        sweep_matched_residual=res_matched,
+        sweep_matched_pcg_iters=iters_matched,
+        sweep_big_gnnz_s=round(rate_big / 1e9, 3),
+        sweep_big_n=n_big,
+        sweep_big_residual=res_big,
+        sweep_big_pcg_iters=iters_big,
+        solver=prob.A.solver_kind,
+    )
 
 
 def bench_stencil_roofline(n=2048, nb=4, reps=50):
@@ -466,7 +503,7 @@ def main():
     fused_nnz_s = bench_tpu_fused(n=2048)
     ac_nnz_s, ac_res = bench_tpu_allen_cahn(n=1024)
     gbps, peak_frac, stream_gbps, stream_frac = bench_stencil_roofline(n=2048)
-    spmm_rate, sparse_sweep_rate, sparse_res = bench_sparse_path()
+    sparse = bench_sparse_path()
     pfasst = bench_pfasst_speedup_projected()
     pfasst_mesh = bench_pfasst_speedup_cpu_mesh()
     ref_nnz_s = bench_scipy_reference(n=matched_n)
@@ -485,9 +522,7 @@ def main():
             'stencil_hbm_peak_frac': round(peak_frac, 3),
             'streaming_ceiling_gbps': round(stream_gbps, 1),
             'stencil_vs_streaming_frac': round(stream_frac, 3),
-            'sparse_bsr_spmm_gnnz_s': round(spmm_rate / 1e9, 3),
-            'sparse_sweep_var_diffusion_256_gnnz_s': round(sparse_sweep_rate / 1e9, 3),
-            'sparse_sweep_final_residual': sparse_res,
+            'sparse_path': sparse,
             'pfasst_speedup_projected': pfasst,
             'pfasst_speedup_cpu_mesh_8dev': pfasst_mesh,
         },

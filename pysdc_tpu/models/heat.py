@@ -48,10 +48,14 @@ class HeatND(Problem):
             for n in nvars
         ]
         if backend == 'sparse':
-            # north-star path: assembled CSR + structured factorization
+            # north-star path: assembled CSR + structured factorization;
+            # the separable eigen twin rides along as the exact spectral
+            # preconditioner so large 2D grids take the PCG lane (one
+            # iteration — the surrogate IS the operator)
             from pysdc_tpu.ops.sparse_op import SparseFDOperator
 
-            self.A = SparseFDOperator(per_dim, scale=nu)
+            self.A = SparseFDOperator(per_dim, scale=nu,
+                                      precond=SeparableFDOperator(per_dim, scale=nu))
         else:
             self.A = SeparableFDOperator(per_dim, scale=nu)
         self._register(

@@ -75,7 +75,7 @@ class VarCoeffDiffusion2D(Problem):
     grid lines, solved direct by block Thomas on the MXU.
     """
 
-    def __init__(self, nvars=(32, 32), coeff_fn=None, nu=1.0, dtype=None):
+    def __init__(self, nvars=(32, 32), coeff_fn=None, nu=1.0, dtype=None, solver='auto'):
         nvars = (nvars, nvars) if isinstance(nvars, int) else tuple(nvars)
         super().__init__(shape=nvars, dtype=dtype)
         nx, ny = nvars
@@ -108,7 +108,18 @@ class VarCoeffDiffusion2D(Problem):
         add(idx[:, :-1], idx[:, 1:], ay[:, 1:-1] / dy**2)
 
         A = CSR.from_coo(np.concatenate(rows), np.concatenate(cols), np.concatenate(vals), (n, n))
-        self.A = SparseOperator(A, grid_shape=nvars, block=ny)
+        # nearest separable surrogate mean(a_x) d_xx + mean(a_y) d_yy as the
+        # spectral preconditioner for the large-grid PCG lane; the per-dim
+        # coefficient folds into the eigen operator through dx -> dx/sqrt(a)
+        from pysdc_tpu.ops.linop import SeparableFDOperator
+
+        precond = SeparableFDOperator(
+            [
+                dict(size=nx, dx=dx / np.sqrt(ax.mean()), derivative=2, order=2, bc='dirichlet'),
+                dict(size=ny, dx=dy / np.sqrt(ay.mean()), derivative=2, order=2, bc='dirichlet'),
+            ]
+        )
+        self.A = SparseOperator(A, grid_shape=nvars, block=ny, precond=precond, solver=solver)
         self.xvals, self.yvals = x, y
         self._register(nvars=nvars, nu=nu, dx=dx, dy=dy)
         self.work_counters['rhs'] = WorkCounter()

@@ -270,6 +270,59 @@ class ELL:
 
 
 @jax.tree_util.register_pytree_node_class
+class DIA:
+    """Diagonal sparse storage — the TPU-native format for FD matrices.
+
+    ``offsets (k,)`` host ints and ``data (k, n)`` with
+    ``data[j, i] = A[i, i + offsets[j]]`` (zero where the entry does not
+    exist).  SpMV is ``sum_j data[j] * roll(u, -offsets[j])`` — k shifted
+    fused multiply-adds on the VPU, no gather at all (ELL's gather costs
+    ~50x more on TPU).  The mod-n roll semantics are exact for every
+    matrix: out-of-range positions have zero coefficients by construction,
+    and periodic wrap-around entries live on their own +-(n-m) diagonals
+    where the roll lands them correctly.
+    """
+
+    def __init__(self, data, offsets, shape, nnz=None):
+        self.data = data              # (k, n) device array
+        self.offsets = tuple(int(o) for o in offsets)  # static
+        self.shape = tuple(shape)
+        self.nnz = nnz if nnz is not None else int(np.asarray(data).size)
+
+    @classmethod
+    def from_csr(cls, A: CSR, max_diags: int = 24):
+        """Convert when the matrix lives on at most ``max_diags`` diagonals
+        (FD stencils do); returns None otherwise."""
+        n = A.shape[0]
+        rows = A.row_of()
+        offs = A.indices.astype(np.int64) - rows
+        uniq = np.unique(offs)
+        if uniq.size > max_diags:
+            return None
+        data = np.zeros((uniq.size, n))
+        for j, o in enumerate(uniq):
+            m = offs == o
+            data[j, rows[m]] = A.data[m]
+        return cls(jnp.asarray(data), uniq, A.shape, nnz=A.nnz)
+
+    def spmv(self, u):
+        """y = A @ u over the trailing axis (leading axes batch)."""
+        out = None
+        for j, o in enumerate(self.offsets):
+            d = self.data[j]
+            term = d * (u if o == 0 else jnp.roll(u, -o, axis=-1))
+            out = term if out is None else out + term
+        return out
+
+    def tree_flatten(self):
+        return (self.data,), (self.offsets, self.shape, self.nnz)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], aux[0], aux[1], nnz=aux[2])
+
+
+@jax.tree_util.register_pytree_node_class
 class BSR:
     """Block-sparse rows of dense blocks with *contiguous* column segments.
 

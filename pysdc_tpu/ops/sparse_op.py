@@ -37,7 +37,7 @@ import numpy as np
 from pysdc_tpu.core.errors import ProblemError
 from pysdc_tpu.ops import banded
 from pysdc_tpu.ops.fd import fd_matrix_1d
-from pysdc_tpu.ops.sparse import BSR, CSR, ELL
+from pysdc_tpu.ops.sparse import BSR, CSR, DIA, ELL
 
 
 class SparseOperator:
@@ -53,15 +53,28 @@ class SparseOperator:
     solver:    'auto' | 'tridiag' | 'banded' | 'block_tridiag' | 'cg'
     """
 
-    def __init__(self, A: CSR, grid_shape=None, bc_rhs=None, block=None, solver='auto'):
+    def __init__(self, A: CSR, grid_shape=None, bc_rhs=None, block=None, solver='auto',
+                 precond=None):
         n = A.shape[0]
         if A.shape[0] != A.shape[1]:
             raise ProblemError('SparseOperator needs a square matrix')
+        #: optional spectral preconditioner: an operator with an exact
+        #: ``solve_shifted(rhs, factor)`` on the same grid (typically the
+        #: nearest separable surrogate on the eigen/FFT lane).  Enables the
+        #: 'pcg' solver: preconditioned conjugate gradients whose iteration
+        #: count is bounded by the coefficient variation, each iteration one
+        #: DIA SpMV + one spectral solve — both HBM-roofline.  This is the
+        #: scale-out 2D lane; dense-block cyclic reduction's factor pyramid
+        #: grows as O(nb*b^2*log nb) and stops fitting past ~128^2.
+        self.precond = precond
         self.A = A
         self.grid_shape = tuple(grid_shape) if grid_shape is not None else (n,)
         self.n = n
         self.bc_rhs = None if bc_rhs is None else jnp.asarray(bc_rhs)
         self.ell = ELL.from_csr(A)
+        # FD matrices live on a handful of diagonals: the DIA roll-based
+        # SpMV replaces ELL's gather (~50x faster on TPU) whenever possible
+        self.dia = DIA.from_csr(A)
         self.nnz_per_dof = A.nnz / n
 
         lower, upper = A.bandwidths()
@@ -78,6 +91,8 @@ class SparseOperator:
                 self._solver = 'cyclic_tridiag'
             elif lower <= 4 and upper <= 4:
                 self._solver = 'banded'
+            elif precond is not None:
+                self._solver = 'pcg'
             else:
                 base = block or (self.grid_shape[-1] if len(self.grid_shape) == 2 else None)
                 self._solver = 'cg'
@@ -165,7 +180,7 @@ class SparseOperator:
 
         def residual(x):
             xf = x.reshape(flat.shape)
-            return shaped - (xf - factor * self.ell.spmv(xf)).reshape(shaped.shape)
+            return shaped - (xf - factor * self._mv(xf)).reshape(shaped.shape)
 
         x = direct(shaped)
         r = residual(x)
@@ -185,11 +200,15 @@ class SparseOperator:
         return x.reshape(flat.shape)
 
     # -- apply -----------------------------------------------------------
+    def _mv(self, flat):
+        """A @ flat over the trailing (flattened-grid) axis."""
+        mv = self.dia if self.dia is not None else self.ell
+        return mv.spmv(flat)
+
     def apply(self, u):
         """A @ u; trailing axes are the grid, leading axes batch."""
         flat = u.reshape(u.shape[: u.ndim - len(self.grid_shape)] + (self.n,))
-        out = self.ell.spmv(flat)
-        return out.reshape(u.shape)
+        return self._mv(flat).reshape(u.shape)
 
     def apply_bsr(self, u, br=8, interpret=False):
         """Pallas block-sparse path; ``u`` (n,) or (n, B) operator-axis-first."""
@@ -234,15 +253,78 @@ class SparseOperator:
                 nb = self.n // self._block
                 shaped = flat.reshape(flat.shape[:-1] + (nb, self._block))
                 x = banded.block_cr_solve(fac, shaped).reshape(flat.shape)
+        elif self._solver == 'pcg':
+            x, _ = self._pcg(flat, factor, tol, maxiter, x0)
         else:
             from jax.scipy.sparse.linalg import cg
 
             def mv(v):
-                return v - factor * self.ell.spmv(v)
+                return v - factor * self._mv(v)
 
             x0f = None if x0 is None else x0.reshape(batch_shape + (self.n,))
+            # floor the tolerance at the dtype's reachable residual level:
+            # the 1e-12 default would spin f32 solves to maxiter
+            tol = max(tol, 50 * float(jnp.finfo(rhs.dtype).eps))
             x, _ = cg(mv, flat, x0=x0f, tol=tol, maxiter=maxiter)
         return x.reshape(rhs.shape)
+
+    def _pcg(self, flat, factor, tol, maxiter, x0=None):
+        """Preconditioned CG on ``(I - factor*A) x = flat``.
+
+        The preconditioner is one exact spectral solve of the separable
+        surrogate; convergence depth is set by the coefficient variation,
+        not the grid (kappa <= max(a)/min(a) of the generalized spectrum).
+        Returns ``(x, iterations)`` — the iteration count is a device
+        scalar, surfaced through :meth:`solve_shifted_info` so solver work
+        is observable (the reference counts Krylov work the same way,
+        generic_ND_FD.py:208-240)."""
+        import jax
+
+        tol = max(tol, 50 * float(jnp.finfo(flat.dtype).eps))
+
+        def mv(v):
+            return v - factor * self._mv(v)
+
+        def M(r):
+            grid = r.reshape(r.shape[:-1] + self.grid_shape)
+            return self.precond.solve_shifted(grid, factor).reshape(r.shape)
+
+        x = jnp.zeros_like(flat) if x0 is None else x0.reshape(flat.shape)
+        r = flat - mv(x)
+        z = M(r)
+        p = z
+        rz = jnp.sum(r * z)
+        b_norm = jnp.linalg.norm(flat.reshape(-1))
+
+        def cond(carry):
+            x, r, p, rz, k = carry
+            return jnp.logical_and(
+                jnp.linalg.norm(r.reshape(-1)) > tol * b_norm, k < maxiter
+            )
+
+        def body(carry):
+            x, r, p, rz, k = carry
+            Ap = mv(p)
+            alpha = rz / jnp.sum(p * Ap)
+            x = x + alpha * p
+            r = r - alpha * Ap
+            z = M(r)
+            rz_new = jnp.sum(r * z)
+            p = z + (rz_new / rz) * p
+            return x, r, p, rz_new, k + 1
+
+        x, r, p, rz, k = jax.lax.while_loop(cond, body, (x, r, p, rz, jnp.asarray(0)))
+        return x, k
+
+    def solve_shifted_info(self, rhs, factor, tol=1e-12, maxiter=1000):
+        """Like :meth:`solve_shifted` but also returns the Krylov iteration
+        count (0 for the direct lanes) — work made visible."""
+        if self._solver != 'pcg':
+            return self.solve_shifted(rhs, factor), jnp.asarray(0)
+        batch_shape = rhs.shape[: rhs.ndim - len(self.grid_shape)]
+        flat = rhs.reshape(batch_shape + (self.n,))
+        x, k = self._pcg(flat, factor, tol, maxiter)
+        return x.reshape(rhs.shape), k
 
     @property
     def solver_kind(self):
@@ -292,12 +374,14 @@ class SparseFDOperator(SparseOperator):
     factorization — BASELINE configs run through it with ``backend='sparse'``
     on the FD problem classes."""
 
-    def __init__(self, per_dim: list[dict], scale: float = 1.0, solver='auto', block=None):
+    def __init__(self, per_dim: list[dict], scale: float = 1.0, solver='auto', block=None,
+                 precond=None):
         A, bc_rhs = assemble_ndim_fd(per_dim, scale=scale)
         shape = tuple(d['size'] for d in per_dim)
         if bc_rhs is not None:
             bc_rhs = bc_rhs.reshape(shape)
-        super().__init__(A, grid_shape=shape, bc_rhs=bc_rhs, block=block, solver=solver)
+        super().__init__(A, grid_shape=shape, bc_rhs=bc_rhs, block=block, solver=solver,
+                         precond=precond)
         self.ndim = len(shape)
         self.scale = float(scale)
 
@@ -311,7 +395,7 @@ class SparseFDOperator(SparseOperator):
         flat = rhs.reshape(batch_shape + (self.n,))
 
         def mv(v):
-            return v - factor * self.ell.spmv(v)
+            return v - factor * self._mv(v)
 
         x, _ = gmres(mv, flat, x0=x0.reshape(batch_shape + (self.n,)), tol=tol, maxiter=maxiter)
         return x.reshape(rhs.shape)

@@ -318,7 +318,12 @@ def test_var_diffusion_sdc_order():
 def test_var_diffusion_2d_spd_and_solve():
     coeff = lambda x, y: 1.0 + 0.5 * np.sin(2 * np.pi * x) * np.cos(2 * np.pi * y)
     P = VarCoeffDiffusion2D(nvars=(12, 12), coeff_fn=coeff)
-    assert P.A.solver_kind == 'block_tridiag'
+    # default routing: spectral-preconditioned CG (scale-out lane); the
+    # block cyclic-reduction direct lane stays reachable by override
+    assert P.A.solver_kind == 'pcg'
+    assert VarCoeffDiffusion2D(
+        nvars=(12, 12), coeff_fn=coeff, solver='block_tridiag'
+    ).A.solver_kind == 'block_tridiag'
     D = P.A.A.to_dense()
     assert np.allclose(D, D.T, atol=1e-12), 'conservative assembly must be symmetric'
     assert np.all(np.linalg.eigvalsh(D) < 1e-10), 'diffusion operator must be negative semidefinite'
@@ -398,7 +403,7 @@ def test_prepared_node_factors_match_traced_path():
 
     n = 24
     coeff = lambda X, Y: 0.1 * (1.0 + 0.5 * np.sin(2 * np.pi * X) * np.cos(2 * np.pi * Y))
-    prob = VarCoeffDiffusion2D(nvars=(n, n), coeff_fn=coeff)
+    prob = VarCoeffDiffusion2D(nvars=(n, n), coeff_fn=coeff, solver='block_tridiag')
     sweep = GenericImplicit({'num_nodes': 3, 'quad_type': 'RADAU-RIGHT', 'QI': 'LU'})
     Level(prob, sweep, {'dt': 1e-3, 'restol': 1e-12})  # triggers preparation
     assert prob.accepts_node_index
@@ -499,3 +504,82 @@ def test_galerkin_requires_sparse_backend():
     )
     with pytest.raises(TransferError, match='sparse'):
         ControllerNonMPI(1, {'logger_level': 40}, desc)
+
+
+# ----------------------------------------------------------------------
+# DIA roll-based SpMV and the spectrally-preconditioned CG lane
+# ----------------------------------------------------------------------
+def test_dia_spmv_matches_ell_including_periodic_wrap():
+    from pysdc_tpu.ops.sparse import DIA, ELL
+
+    n = 40
+    # periodic tridiagonal + wrap corners + an extra far diagonal
+    e = np.ones(n)
+    A = CSR.diags([e, -2.0 * e, e], [-1, 0, 1], (n, n))
+    A = A + CSR.from_coo([0, n - 1, 3], [n - 1, 0, 33], [0.5, 0.25, -1.5], (n, n))
+    dia = DIA.from_csr(A)
+    assert dia is not None
+    u = jnp.asarray(RNG.normal(size=(3, n)))
+    got = np.asarray(dia.spmv(u))
+    want = np.asarray(ELL.from_csr(A).spmv(u))
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
+    # dense sanity
+    np.testing.assert_allclose(got[0], A.to_dense() @ np.asarray(u[0]), rtol=1e-12, atol=1e-12)
+
+
+def test_dia_rejects_unstructured():
+    from pysdc_tpu.ops.sparse import DIA
+
+    rng = np.random.default_rng(3)
+    n = 64
+    rows = rng.integers(0, n, 200)
+    cols = rng.integers(0, n, 200)
+    A = CSR.from_coo(rows, cols, rng.normal(size=200), (n, n))
+    assert DIA.from_csr(A, max_diags=24) is None
+
+
+def test_pcg_matches_block_tridiag_direct():
+    """The spectral-PCG lane and the block cyclic-reduction direct lane
+    solve the same shifted system to the same answer."""
+    coeff = lambda X, Y: 0.1 * (1.0 + 0.5 * np.sin(2 * np.pi * X) * np.cos(2 * np.pi * Y))
+    p_pcg = VarCoeffDiffusion2D(nvars=(24, 24), coeff_fn=coeff)
+    p_dir = VarCoeffDiffusion2D(nvars=(24, 24), coeff_fn=coeff, solver='block_tridiag')
+    assert p_pcg.A.solver_kind == 'pcg'
+    rhs = jnp.asarray(RNG.normal(size=(24, 24)))
+    x_pcg = p_pcg.A.solve_shifted(rhs, 2e-3)
+    x_dir = p_dir.A.solve_shifted(rhs, 2e-3)
+    np.testing.assert_allclose(np.asarray(x_pcg), np.asarray(x_dir), rtol=1e-8, atol=1e-10)
+
+
+def test_pcg_iteration_count_tracks_coefficient_variation():
+    """solve_shifted_info surfaces Krylov work; smooth +-50% variation
+    needs only a handful of iterations, rougher coefficients more — but
+    both stay far below unpreconditioned CG depth."""
+    smooth = lambda X, Y: 0.1 * (1.0 + 0.5 * np.sin(2 * np.pi * X) * np.cos(2 * np.pi * Y))
+    rough = lambda X, Y: 0.1 * (1.0 + 0.9 * np.sign(np.sin(6 * np.pi * X)) * np.cos(2 * np.pi * Y))
+    rhs = jnp.asarray(RNG.normal(size=(32, 32)))
+    p1 = VarCoeffDiffusion2D(nvars=(32, 32), coeff_fn=smooth)
+    p2 = VarCoeffDiffusion2D(nvars=(32, 32), coeff_fn=rough)
+    x1, k1 = p1.A.solve_shifted_info(rhs, 1e-3)
+    x2, k2 = p2.A.solve_shifted_info(rhs, 1e-3)
+    # f64 runs iterate to ~1e-14 relative residual (the dtype floor)
+    assert 0 < int(k1) <= 20
+    assert int(k1) <= int(k2) <= 80
+    for p, x in ((p1, x1), (p2, x2)):
+        res = np.asarray(rhs) - (np.asarray(x) - 1e-3 * np.asarray(p.A.apply(x)))
+        assert np.abs(res).max() <= 1e-7 * max(1.0, np.abs(np.asarray(rhs)).max())
+
+
+def test_sparse_heat_2d_rides_pcg_with_exact_preconditioner():
+    """Sparse-backend heat's surrogate IS the operator: PCG converges in
+    one iteration and matches the eigen backend."""
+    from pysdc_tpu.models.heat import HeatND
+
+    p_sp = HeatND(nvars=(32, 32), nu=0.1, freq=2, bc='periodic', backend='sparse')
+    p_ei = HeatND(nvars=(32, 32), nu=0.1, freq=2, bc='periodic', backend='eigen')
+    assert p_sp.A.solver_kind == 'pcg'
+    rhs = jnp.asarray(RNG.normal(size=(32, 32)))
+    x_sp, k = p_sp.A.solve_shifted_info(rhs, 5e-4)
+    x_ei = p_ei.A.solve_shifted(rhs, 5e-4)
+    assert int(k) <= 2
+    np.testing.assert_allclose(np.asarray(x_sp), np.asarray(x_ei), rtol=1e-9, atol=1e-11)
