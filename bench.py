@@ -429,6 +429,60 @@ print(json.dumps(dict(speedup=round(t_serial / t_sharded, 2),
         return None
 
 
+def bench_halo_apply_cpu_mesh(n=2048, nb=4, reps=30):
+    """Space-decomposed stencil apply on the 8-device emulated mesh:
+    halo-exchange path (one ppermute per direction + overlapped local taps)
+    vs GSPMD rolls (one boundary shuffle per tap).  On the emulated mesh —
+    whose devices execute sequentially and whose collectives are thread
+    rendezvous — the two are work-equivalent, so this entry gates parity
+    (ratio ~1 +- noise); the halo path's advantage (5x fewer boundary
+    exchanges, ghost-independent taps overlapping the permute) is an ICI
+    latency effect that only shows on real multi-chip hardware.  Subprocess
+    so the TPU process keeps its platform; returns None on failure."""
+    code = rf'''
+import os, json, time
+os.environ['JAX_PLATFORMS'] = 'cpu'
+os.environ['XLA_FLAGS'] = os.environ.get('XLA_FLAGS', '') + ' --xla_force_host_platform_device_count=8'
+import jax, jax.numpy as jnp, numpy as np
+jax.config.update('jax_platforms', 'cpu')
+from jax.sharding import NamedSharding, PartitionSpec as P
+from pysdc_tpu.models.heat import HeatND
+from pysdc_tpu.parallel.mesh import make_mesh
+
+n, nb, reps = {n}, {nb}, {reps}
+mesh = make_mesh(n_time=1, n_space=8)
+prob = HeatND(nvars=(n, n), nu=0.1, freq=2, bc='periodic', dtype=jnp.float32)
+prob.A.disable_pallas()
+u = jax.device_put(
+    jnp.asarray(np.random.default_rng(0).standard_normal((nb, n, n)), jnp.float32),
+    NamedSharding(mesh, P(None, 'space', None)),
+)
+def rate(fn):
+    f = jax.jit(fn)
+    out = f(u); jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(reps): out = f(out)
+    jax.block_until_ready(out)
+    return 2 * nb * n * n * 4 / ((time.perf_counter() - t0) / reps) / 1e9
+
+gspmd = rate(prob.A.apply)
+prob.A.enable_halo(mesh)
+halo = rate(prob.A.apply)
+print(json.dumps(dict(halo_gbps=round(halo, 2), gspmd_roll_gbps=round(gspmd, 2),
+                      halo_vs_roll=round(halo / gspmd, 2))))
+'''
+    env = dict(os.environ)
+    env.pop('JAX_PLATFORMS', None)
+    try:
+        out = subprocess.run(
+            [sys.executable, '-c', code], capture_output=True, text=True, timeout=600,
+            cwd=os.path.dirname(os.path.abspath(__file__)), env=env,
+        )
+        return json.loads(out.stdout.strip().splitlines()[-1])
+    except Exception:
+        return None
+
+
 def bench_scipy_reference(n=1024, M=4, iters=5):
     """Reference-equivalent sweep: CSR SpMV + splu triangular solves at the
     SAME grid size as the matched TPU measurement."""
@@ -506,6 +560,7 @@ def main():
     sparse = bench_sparse_path()
     pfasst = bench_pfasst_speedup_projected()
     pfasst_mesh = bench_pfasst_speedup_cpu_mesh()
+    halo_mesh = bench_halo_apply_cpu_mesh()
     ref_nnz_s = bench_scipy_reference(n=matched_n)
 
     result = {
@@ -525,6 +580,7 @@ def main():
             'sparse_path': sparse,
             'pfasst_speedup_projected': pfasst,
             'pfasst_speedup_cpu_mesh_8dev': pfasst_mesh,
+            'halo_apply_cpu_mesh_8dev': halo_mesh,
         },
     }
     print(json.dumps(result))

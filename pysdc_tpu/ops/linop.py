@@ -155,6 +155,19 @@ class SeparableFDOperator:
     def enable_pallas(self, mode='auto'):
         self._pallas = mode
 
+    def enable_halo(self, mesh, axis: str = 'space'):
+        """Space-decomposed apply: one rx-deep halo ppermute per direction
+        with ghost-independent taps overlapping the exchange
+        (:func:`~pysdc_tpu.ops.pallas.stencil.halo_cross_apply_batched`).
+        For 2D all-periodic operators on space-only meshes; other
+        configurations keep the GSPMD roll path."""
+        if self._cross_terms is None:
+            raise ProblemError('halo apply needs a 2D all-periodic cross-stencil operator')
+        self._halo = (mesh, axis)
+
+    def disable_halo(self):
+        self._halo = None
+
     def _use_pallas_apply(self, u) -> bool:
         if self._cross_terms is None or self._pallas is False:
             return False
@@ -177,6 +190,11 @@ class SeparableFDOperator:
         otherwise periodic axes use rolls (VPU-fused) and general axes one
         dense matmul each (MXU).  BC rhs vector is NOT included (matches the
         reference, which keeps b separate)."""
+        if getattr(self, '_halo', None) is not None and not jnp.iscomplexobj(u) and u.ndim >= 2:
+            from pysdc_tpu.ops.pallas.stencil import halo_cross_apply_batched
+
+            mesh, axis = self._halo
+            return halo_cross_apply_batched(u, mesh, self._cross_terms, axis=axis)
         if self._use_pallas_apply(u):
             from pysdc_tpu.ops.pallas.stencil import cross_stencil_2d
 

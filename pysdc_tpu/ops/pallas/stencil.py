@@ -360,3 +360,75 @@ def halo_cross_apply(u, mesh, terms, axis: str = 'space'):
 
     spec = PartitionSpec(axis, None)
     return shard_map(shard_fn, mesh=mesh, in_specs=(spec,), out_specs=spec)(u)
+
+
+def halo_cross_apply_batched(u, mesh, terms, axis: str = 'space'):
+    """Arbitrary-width periodic cross stencil with leading batch axes, the
+    first spatial axis sharded over mesh axis ``axis``.
+
+    The production space-decomposed apply (SURVEY P7): ONE rx-deep halo
+    ppermute each way per apply regardless of stencil order — versus the
+    roll path's one boundary exchange per tap under GSPMD — and the
+    ghost-independent y-direction taps are computed while the halos are in
+    flight (the sends are issued first, the y accumulation has no data
+    dependence on them, so XLA's latency-hiding scheduler overlaps the
+    collective-permute with that compute).
+
+    ``u``: (..., nx, ny); batch axes must not be sharded (use on space-only
+    meshes — a sharded batch axis would be all-gathered by the vmap-of-
+    shard_map composition).  Numerically identical to the roll path (gated
+    in tests/test_pallas_stencil.py).
+    """
+    (coeff_x, offs_x), (coeff_y, offs_y) = terms
+    rx = max((abs(int(s)) for s in offs_x), default=0)
+    n_shards = mesh.shape[axis]
+    perm_fwd = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+    perm_bwd = [(i, (i - 1) % n_shards) for i in range(n_shards)]
+
+    def shard_fn(u_loc):
+        nloc = u_loc.shape[-2]
+        if rx > nloc:
+            raise ValueError(f'stencil radius {rx} exceeds local shard size {nloc}')
+        # 1) issue the halo sends (async collective-permute over ICI)
+        if rx > 0:
+            top_ghost = jax.lax.ppermute(u_loc[..., -rx:, :], axis, perm_fwd)
+            bot_ghost = jax.lax.ppermute(u_loc[..., :rx, :], axis, perm_bwd)
+        # 2) ghost-independent work overlaps with the halos in flight:
+        # y taps plus the in-range part of every x tap (zero-filled
+        # shifts fuse into one elementwise chain — no extended-array copy)
+        nb = u_loc.ndim - 2
+        acc = jnp.zeros_like(u_loc)
+        for c, s in zip(coeff_y, offs_y):
+            acc = acc + float(c) * jnp.roll(u_loc, -int(s), axis=-1)
+        pad_cfg = [(0, 0)] * nb
+        for c, s in zip(coeff_x, offs_x):
+            s = int(s)
+            if s == 0:
+                acc = acc + float(c) * u_loc
+            elif s > 0:
+                shifted = jnp.pad(u_loc[..., s:, :], pad_cfg + [(0, s), (0, 0)])
+                acc = acc + float(c) * shifted
+            else:
+                shifted = jnp.pad(u_loc[..., :s, :], pad_cfg + [(-s, 0), (0, 0)])
+                acc = acc + float(c) * shifted
+        # 3) edge-row corrections from the arrived ghosts (tiny updates)
+        if rx > 0:
+            top_corr = jnp.zeros_like(acc[..., :rx, :])
+            bot_corr = jnp.zeros_like(acc[..., :rx, :])
+            for c, s in zip(coeff_x, offs_x):
+                s = int(s)
+                if s < 0:  # rows i < -s read ghost rows above: top_ghost[rx+s+i]
+                    top_corr = top_corr.at[..., : -s, :].add(
+                        float(c) * top_ghost[..., rx + s :, :]
+                    )
+                elif s > 0:  # rows i >= nloc-s read ghost rows below
+                    bot_corr = bot_corr.at[..., rx - s :, :].add(
+                        float(c) * bot_ghost[..., : s, :]
+                    )
+            acc = acc.at[..., :rx, :].add(top_corr)
+            acc = acc.at[..., nloc - rx :, :].add(bot_corr)
+        return acc
+
+    nb = u.ndim - 2
+    spec = PartitionSpec(*([None] * nb), axis, None)
+    return shard_map(shard_fn, mesh=mesh, in_specs=(spec,), out_specs=spec)(u)

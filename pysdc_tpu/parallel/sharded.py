@@ -397,6 +397,15 @@ class ShardedController(ControllerNonMPI):
             from pysdc_tpu.ops.linop import SeparableFDOperator
 
             space_sharded = dict(mesh.shape).get('space', 1) > 1
+            # space-ONLY decomposition (SURVEY P6/P7): eval_f/apply go
+            # through the halo-exchange path — one rx-deep ppermute per
+            # direction with ghost-independent taps overlapping the
+            # exchange — instead of GSPMD's per-tap boundary shuffles.
+            # (On mixed meshes the vmap-of-shard_map composition would
+            # all-gather the time/node axes, so those keep GSPMD rolls.)
+            space_only = space_sharded and all(
+                n == 1 for ax, n in dict(mesh.shape).items() if ax != 'space'
+            )
             for S in self.MS:
                 for lvl in S.levels:
                     for attr in vars(lvl.prob).values():
@@ -404,6 +413,15 @@ class ShardedController(ControllerNonMPI):
                             if space_sharded:
                                 attr.disable_rfft()
                             attr.disable_pallas()
+                            n_sp = dict(mesh.shape)['space']
+                            if (
+                                space_only
+                                and attr._cross_terms is not None
+                                and attr.shape[-2] % n_sp == 0
+                                and attr.shape[-2] // n_sp
+                                >= max(abs(s) for c, o in attr._cross_terms for s in o)
+                            ):
+                                attr.enable_halo(mesh)
                 if space_sharded:
                     from pysdc_tpu.transfer.space_mesh import MeshTransfer
 
