@@ -20,9 +20,17 @@ def main():
     P = controller.MS[0].levels[0].prob
     uend, stats = controller.run(P.u_exact(0.1), 0.1, 0.3)
     err = float(jnp.max(jnp.abs(P.u_exact(0.3) - uend)))
+    iters = [v for _, v in get_sorted(stats, type='niter')]
+    residuals = [v for _, v in get_sorted(stats, type='residual_post_step')]
     print('error after SDC iterations: %8.6e' % err)
-    print('iterations per step:', [v for _, v in get_sorted(stats, type='niter')])
+    print('iterations per step:', iters)
     assert err <= 2e-5
+    # line-by-line gates in the style of the reference tutorial tests
+    # (tests/test_tutorials/test_step_2.py): every step terminates on the
+    # residual tolerance, never the iteration cap
+    assert all(r <= 1e-10 for r in residuals), residuals
+    assert all(i < 20 for i in iters), iters
+    assert len(iters) == 2
 
 
 if __name__ == '__main__':

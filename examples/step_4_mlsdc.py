@@ -25,6 +25,17 @@ def main():
     print(f'MLSDC iterations: {iters}, error: {err:.3e}')
     assert max(iters) <= 8 and err <= 2e-5
 
+    # the point of the second level: fewer iterations than single-level SDC
+    sdc = dict(description, problem_params=dict(description['problem_params'], nvars=1023),
+               sweeper_params=dict(quad_type='RADAU-RIGHT', num_nodes=3))
+    del sdc['space_transfer_params']
+    c1 = ControllerNonMPI(1, {'logger_level': 30}, sdc)
+    P1 = c1.MS[0].levels[0].prob
+    _, s1 = c1.run(P1.u_exact(0.1), 0.1, 0.3)
+    iters_sdc = [v for _, v in get_sorted(s1, type='niter')]
+    print(f'single-level SDC iterations: {iters_sdc}')
+    assert sum(iters) < sum(iters_sdc), (iters, iters_sdc)
+
 
 if __name__ == '__main__':
     main()

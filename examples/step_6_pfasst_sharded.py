@@ -38,11 +38,17 @@ def main():
     u_s, s_s = sharded.run(P.u_exact(0.0), 0.0, 1.0)
     it_s = [v for _, v in get_sorted(s_s, type='niter')]
 
+    # the production fast lane: the whole block solve as ONE XLA program
+    u_f, s_f = sharded.run_fused(P.u_exact(0.0), 0.0, 1.0)
+    it_f = [v for _, v in get_sorted(s_f, type='niter')]
+
     print('virtual iterations:', it_v)
     print('sharded iterations:', it_s)
+    print('fused iterations:  ', it_f)
     print('solution diff:', float(jnp.max(jnp.abs(u_v - u_s))))
-    assert it_v == it_s
+    assert it_v == it_s == it_f
     assert float(jnp.max(jnp.abs(u_v - u_s))) < 1e-12
+    assert float(jnp.max(jnp.abs(u_v - u_f))) < 1e-11
 
 
 if __name__ == '__main__':

@@ -29,6 +29,9 @@ def main():
     _, stats = c.run(P.u_exact(0.0), 0.0, 2.0)
     dts = [v for _, v in get_sorted(stats, type='dt', recomputed=False)]
     print(f'adaptivity: {len(dts)} steps, dt in [{min(dts):.2e}, {max(dts):.2e}]')
+    # decaying heat: the controller must stretch dt to its cap
+    assert max(dts) >= 0.1 - 1e-12 and min(dts) < 0.05
+    assert len(dts) < 2.0 / min(dts), 'adaptivity saved steps over uniform dt_min'
 
     # Hot Rod recovers from an injected bit flip
     injector = FaultInjector()
@@ -48,6 +51,7 @@ def main():
     uend, stats2 = c2.run(P2.u_exact(0.0), 0.0, 1.0)
     err = float(jnp.max(jnp.abs(uend - P2.u_exact(1.0))))
     print(f'Hot Rod: fault happened={injector.faults[0].happened}, recovered error={err:.2e}')
+    assert injector.faults[0].happened, 'the fault must actually have been injected'
     assert err < 1e-3
 
 

@@ -25,6 +25,11 @@ def main():
     err = float(jnp.max(jnp.abs(uend - P.u_exact(0.4))))
     print(f'ParaDiag over 8 steps: iterations={max(iters)}, err={err:.3e}')
     assert max(iters) <= 5
+    assert err < 1e-6, err
+    # alpha-circulant theory: looser alpha must not change the fixed point
+    c2 = ParaDiagController(8, {'logger_level': 30, 'alpha': 1e-2}, description)
+    u2, s2 = c2.run(P.u_exact(0.0), 0.0, 0.4)
+    assert float(jnp.max(jnp.abs(uend - u2))) < 1e-9
 
 
 if __name__ == '__main__':

@@ -213,3 +213,34 @@ class AllenCahnPeriodicMultiImplicitND(AllenCahnPeriodicND):
             lambda x: jnp.zeros_like(x), lambda r, c: r, self._reaction, self._reaction_prime,
             rhs, factor, u0, newton_tol=self.newton_tol, newton_maxiter=self.newton_maxiter,
         )
+
+
+class AllenCahnFront1DFinel(AllenCahnFront1D):
+    """Finel's discretization trick for the traveling front (reference
+    ``allencahn_front_finel``, AllenCahn_1D_FD.py:333-477).
+
+    The double-well term is replaced by the lattice-compatible form
+
+        g'(u) = 1/dx^2 * [ (1-a) / (1 - a (2u-1)^2) - 1 ] * (2u-1),
+        a = tanh(dx / (sqrt(2) eps))^2,
+
+    which makes the discrete traveling wave exact on the grid (no velocity
+    pinning).  Fully implicit; same Newton machinery as the base class with
+    the closed-form derivative of Finel's potential.
+    """
+
+    def _finel_a2(self):
+        return float(np.tanh(self.dx / (np.sqrt(2) * self.eps)) ** 2)
+
+    def _reaction(self, u):
+        a2 = self._finel_a2()
+        w = 2.0 * u - 1.0
+        gprim = ((1.0 - a2) / (1.0 - a2 * w**2) - 1.0) * w / self.dx**2
+        return -gprim - 6.0 * self.dw * u * (1.0 - u)
+
+    def _reaction_prime(self, u):
+        a2 = self._finel_a2()
+        w = 2.0 * u - 1.0
+        ratio = (1.0 - a2) / (1.0 - a2 * w**2)
+        dgprim = (2.0 * (ratio - 1.0) + w**2 * (1.0 - a2) * 4.0 * a2 / (1.0 - a2 * w**2) ** 2) / self.dx**2
+        return -dgprim - 6.0 * self.dw * (1.0 - 2.0 * u)

@@ -31,7 +31,7 @@ class Quench(Problem):
     def __init__(self, Cv=1000.0, K=1000.0, u_thresh=3e-2, u_max=6e-2, Q_max=1.0,
                  leak_range=(0.45, 0.55), leak_type='linear', leak_transition='step',
                  order=2, bc='neumann-zero', nvars=2**7, newton_tol=1e-8,
-                 newton_maxiter=99, lin_maxiter=99, dtype=None):
+                 newton_maxiter=99, lin_maxiter=99, reference_sol_type='scipy', dtype=None):
         super().__init__(shape=(nvars,), dtype=dtype)
         dx, xv = get_1d_grid(nvars, bc)
         self._register(
@@ -39,6 +39,7 @@ class Quench(Problem):
             leak_range=leak_range, leak_type=leak_type, leak_transition=leak_transition,
             order=order, bc=bc, nvars=nvars, newton_tol=newton_tol,
             newton_maxiter=newton_maxiter, lin_maxiter=lin_maxiter, dx=dx,
+            reference_sol_type=reference_sol_type,
         )
         self.xv = xv
         self.A = SeparableFDOperator(
@@ -110,19 +111,59 @@ class Quench(Problem):
         )
 
     def u_exact(self, t, u_init=None, t_init=None):
-        """t=0: cold magnet; t>0: stiff scipy BDF reference (Quench.py:364+)."""
+        """t=0: cold magnet; t>0: reference solution by ``reference_sol_type``
+        — stiff scipy BDF, a tight fully-implicit SDC run, or adaptive DIRK
+        (reference Quench.py:364-476)."""
         if isinstance(t, (int, float)) and t == 0:
             return jnp.zeros(self.shape, self.dtype)
 
-        def eval_rhs(tt, u):
-            return np.asarray(self.eval_f(jnp.asarray(u), tt))
-
         u_init = jnp.zeros(self.shape, self.dtype) if u_init is None else u_init
         t_init = 0.0 if t_init is None else t_init
-        return jnp.asarray(
-            self.generate_scipy_reference_solution(eval_rhs, t, u_init, t_init, method='BDF'),
-            self.dtype,
+
+        if self.reference_sol_type == 'scipy':
+            def eval_rhs(tt, u):
+                return np.asarray(self.eval_f(jnp.asarray(u), tt))
+
+            return jnp.asarray(
+                self.generate_scipy_reference_solution(eval_rhs, t, u_init, t_init, method='BDF'),
+                self.dtype,
+            )
+        if self.reference_sol_type not in ('SDC', 'DIRK'):
+            raise ValueError(f'unknown reference_sol_type {self.reference_sol_type!r}')
+
+        from pysdc_tpu.parallel.nonmpi import ControllerNonMPI
+
+        desc = dict(
+            problem_class=type(self),
+            problem_params=dict(
+                Cv=self.Cv, K=self.K, u_thresh=self.u_thresh, u_max=self.u_max,
+                Q_max=self.Q_max, leak_range=self.leak_range, leak_type=self.leak_type,
+                leak_transition=self.leak_transition, order=self.order, bc=self.bc,
+                nvars=self.nvars, newton_tol=1e-10, newton_maxiter=99, dtype=self.dtype,
+            ),
         )
+        if self.reference_sol_type == 'DIRK':
+            from pysdc_tpu.convergence.adaptivity import AdaptivityRK
+            from pysdc_tpu.sweepers.runge_kutta import DIRK43
+
+            desc.update(
+                sweeper_class=DIRK43, sweeper_params={},
+                step_params=dict(maxiter=1),
+                level_params=dict(dt=1e-4, restol=-1.0),
+                convergence_controllers={AdaptivityRK: {'e_tol': 1e-9, 'update_order': 4}},
+            )
+        else:  # SDC
+            from pysdc_tpu.sweepers.generic_implicit import GenericImplicit
+
+            desc.update(
+                sweeper_class=GenericImplicit,
+                sweeper_params=dict(num_nodes=3, QI='IE', quad_type='RADAU-RIGHT'),
+                step_params=dict(maxiter=99),
+                level_params=dict(dt=min(0.5, float(t) - float(t_init)), restol=1e-10),
+            )
+        ctrl = ControllerNonMPI(1, {'logger_level': 40, 'mssdc_jac': False}, desc)
+        uend, _ = ctrl.run(u_init, float(t_init), float(t))
+        return jnp.asarray(uend, self.dtype)
 
 
 class QuenchIMEX(Quench):

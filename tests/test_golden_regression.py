@@ -226,3 +226,57 @@ def test_rk_cash_karp_vdp(golden):
     )
     prob, uend, stats = _run(desc, 0.5)
     golden.check('rk_cash_karp/uend', [float(x) for x in uend], rtol=1e-9)
+
+
+def test_allen_cahn_front_finel(golden):
+    from pysdc_tpu.models.allen_cahn import AllenCahnFront1DFinel
+    from pysdc_tpu.sweepers.generic_implicit import GenericImplicit
+
+    desc = dict(
+        problem_class=AllenCahnFront1DFinel,
+        problem_params=dict(nvars=127, dw=-0.04, eps=0.04, newton_tol=1e-12),
+        sweeper_class=GenericImplicit,
+        sweeper_params=dict(num_nodes=3, quad_type='RADAU-RIGHT', QI='LU'),
+        level_params=dict(restol=1e-11, dt=1e-3),
+        step_params=dict(maxiter=40),
+    )
+    prob, uend, stats = _run(desc, 8e-3)
+    err = float(jnp.max(jnp.abs(uend - prob.u_exact(8e-3))))
+    assert err < 5e-4
+    golden.check('ac_front_finel/niter', _niter(stats))
+    golden.check('ac_front_finel/err', [err], rtol=1e-5, atol=1e-14)
+
+
+def test_gray_scott_multi_implicit(golden):
+    from pysdc_tpu.models.gray_scott import GrayScottMultiImplicit
+    from pysdc_tpu.sweepers.multi_implicit import MultiImplicitSweeper
+
+    desc = dict(
+        problem_class=GrayScottMultiImplicit,
+        problem_params=dict(nvars=(64,), Du=1e-4, Dv=1e-5, A=0.04, B=0.1, L=2.0, newton_tol=1e-12),
+        sweeper_class=MultiImplicitSweeper,
+        sweeper_params=dict(num_nodes=3, Q1='LU', Q2='LU'),
+        level_params=dict(restol=1e-11, dt=0.5),
+        step_params=dict(maxiter=30),
+    )
+    prob, uend, stats = _run(desc, 2.0)
+    golden.check('gray_scott_mi/niter', _niter(stats))
+    golden.check('gray_scott_mi/u_slice', [float(v) for v in np.asarray(uend[0, ::16])], rtol=1e-8, atol=1e-12)
+    golden.check('gray_scott_mi/v_slice', [float(v) for v in np.asarray(uend[1, ::16])], rtol=1e-8, atol=1e-12)
+
+
+def test_quench_runaway(golden):
+    from pysdc_tpu.models.quench import Quench
+    from pysdc_tpu.sweepers.generic_implicit import GenericImplicit
+
+    desc = dict(
+        problem_class=Quench,
+        problem_params=dict(nvars=128, newton_tol=1e-10),
+        sweeper_class=GenericImplicit,
+        sweeper_params=dict(num_nodes=3, quad_type='RADAU-RIGHT', QI='IE'),
+        level_params=dict(restol=1e-9, dt=5.0),
+        step_params=dict(maxiter=50),
+    )
+    prob, uend, stats = _run(desc, 20.0)
+    golden.check('quench/niter', _niter(stats))
+    golden.check('quench/u_max', [float(jnp.max(uend))], rtol=1e-7, atol=1e-12)

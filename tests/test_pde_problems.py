@@ -170,3 +170,75 @@ def test_multi_implicit_sweeper_matches_fully_implicit():
         1e-3, 3e-3, maxiter=30, restol=1e-11,
     )
     assert float(jnp.max(jnp.abs(u1 - u2))) < 1e-10
+
+
+# ----------------------------------------------------------------------
+# Round-3 depth variants: AC Finel, Gray-Scott multi-implicit, Quench refs
+# ----------------------------------------------------------------------
+def test_allen_cahn_finel_tracks_traveling_front():
+    """Finel's trick keeps the discrete traveling wave exact on the grid:
+    the front must move at v = 3*sqrt(2)*eps*dw without lattice pinning,
+    staying close to the tanh profile even on a coarse grid."""
+    from pysdc_tpu.models.allen_cahn import AllenCahnFront1D, AllenCahnFront1DFinel
+
+    common = dict(nvars=127, dw=-0.04, eps=0.04, newton_tol=1e-12)
+    P_f, u_f, _ = _run(
+        AllenCahnFront1DFinel, common, GenericImplicit, dict(num_nodes=3, QI='LU'),
+        1e-3, 1e-2, maxiter=40, restol=1e-11,
+    )
+    err_f = float(jnp.max(jnp.abs(u_f - P_f.u_exact(1e-2))))
+    assert err_f < 5e-4, err_f
+    # and it must genuinely differ from the standard discretization
+    P_s, u_s, _ = _run(
+        AllenCahnFront1D, common, GenericImplicit, dict(num_nodes=3, QI='LU'),
+        1e-3, 1e-2, maxiter=40, restol=1e-11,
+    )
+    assert float(jnp.max(jnp.abs(u_f - u_s))) > 1e-8
+
+
+def test_gray_scott_multi_implicit_matches_imex():
+    """Both multi-implicit splittings converge to the same trajectory as the
+    IMEX variant (collocation fixed point is splitting-independent)."""
+    from pysdc_tpu.models.gray_scott import (
+        GrayScottMultiImplicit,
+        GrayScottMultiImplicitLinear,
+    )
+    from pysdc_tpu.sweepers.multi_implicit import MultiImplicitSweeper
+
+    common = dict(nvars=(32,), Du=1e-4, Dv=1e-5, A=0.04, B=0.1, L=2.0)
+    _, u_imex, _ = _run(
+        GrayScott, common, IMEXSweeper, dict(num_nodes=3, QI='LU'),
+        0.5, 2.0, maxiter=30, restol=1e-11,
+    )
+    for cls in (GrayScottMultiImplicit, GrayScottMultiImplicitLinear):
+        _, u_mi, _ = _run(
+            cls, dict(common, newton_tol=1e-12), MultiImplicitSweeper,
+            dict(num_nodes=3, Q1='LU', Q2='LU'), 0.5, 2.0, maxiter=30, restol=1e-11,
+        )
+        assert float(jnp.max(jnp.abs(u_mi - u_imex))) < 1e-8, cls.__name__
+
+
+def test_gray_scott_reaction_newton_solves_pointwise_system():
+    """solve_system_2 really solves u - factor*R(u) = rhs."""
+    from pysdc_tpu.models.gray_scott import GrayScottMultiImplicit
+
+    P = GrayScottMultiImplicit(nvars=(16, 16), newton_tol=1e-13)
+    rng = np.random.default_rng(0)
+    rhs = jnp.asarray(0.5 + 0.1 * rng.standard_normal((2, 16, 16)))
+    u = P.solve_system_2(rhs, 0.37, rhs, 0.0)
+    resid = u - 0.37 * np.asarray(P._reaction(u)) - np.asarray(rhs)
+    assert np.abs(resid).max() < 1e-11
+
+
+def test_quench_reference_sol_types_agree():
+    """'SDC' and 'DIRK' reference generators agree with the scipy BDF one
+    (reference Quench.py:364-476 offers the same three)."""
+    from pysdc_tpu.models.quench import Quench
+
+    t = 10.0
+    u_ref = {}
+    for kind in ('scipy', 'SDC', 'DIRK'):
+        P = Quench(nvars=64, reference_sol_type=kind)
+        u_ref[kind] = np.asarray(P.u_exact(t))
+    assert np.abs(u_ref['SDC'] - u_ref['scipy']).max() < 1e-4
+    assert np.abs(u_ref['DIRK'] - u_ref['scipy']).max() < 1e-4
