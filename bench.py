@@ -180,26 +180,52 @@ def bench_sparse_path(n=256, n_big=1024, M=4, n_sweeps=10, reps=3, spmm_reps=50)
     ndof = n * n
     nnz = prob.A.A.nnz
 
+    # Rep loops run INSIDE jit (lax.fori_loop, one dispatch): host-side
+    # chaining measures per-dispatch tunnel latency, not the kernel, and a
+    # light rescale each step keeps the chained iterate finite without a
+    # reduction.
+    def device_chain_rate(mv, u0, nnz_eff, reps):
+        @jax.jit
+        def chain(v):
+            out = jax.lax.fori_loop(0, reps, lambda i, y: mv(y) * jnp.float32(0.5), v)
+            return jnp.sum(out)
+
+        # axon gotcha: block_until_ready returns early through the tunnel —
+        # only a device->host scalar readback reliably stops the clock
+        float(chain(u0))
+        best = float('inf')
+        for _ in range(3):
+            s = time.perf_counter()
+            float(chain(u0))
+            best = min(best, time.perf_counter() - s)
+        return nnz_eff * reps / best
+
     # (a) DIA SpMV (the production eval_f)
     u2 = jnp.asarray(np.random.default_rng(0).standard_normal((n, n)), jnp.float32)
-    apply_j = jax.jit(prob.A.apply)
-    y = apply_j(u2)
-    float(jnp.sum(y))
-    start = time.perf_counter()
-    for _ in range(spmm_reps):
-        y = apply_j(y)
-    float(jnp.sum(y))
-    dia_rate = nnz * spmm_reps / (time.perf_counter() - start)
+    dia_rate = device_chain_rate(prob.A.apply, u2, nnz, spmm_reps)
 
-    # (b) Pallas BSR SpMM over the node batch
-    u = jnp.asarray(np.random.default_rng(0).standard_normal((ndof, M)), jnp.float32)
-    y = prob.A.apply_bsr(u)
-    float(jnp.sum(y))
-    start = time.perf_counter()
-    for _ in range(spmm_reps):
-        y = prob.A.apply_bsr(y)
-    float(jnp.sum(y))
-    spmm_rate = nnz * M * spmm_reps / (time.perf_counter() - start)
+    # (b) Pallas BSR SpMM — measured at its design point (dense-block
+    # coupling matrices: DG / multi-species Jacobians, where every stored
+    # entry is a real nonzero) and on the stencil matrix.  On the stencil,
+    # dense 256-blocks store ~0.7% nonzeros, so the rate is block traffic
+    # at the streaming ceiling divided by the zero-padding — the DIA lane
+    # above is the right format there; reported for honesty, not a target.
+    from pysdc_tpu.ops.pallas.spmv import bsr_spmm
+    from pysdc_tpu.ops.sparse import BSR
+
+    rng = np.random.default_rng(1)
+    br = 256
+    nb, kb = ndof // br, 3
+    blocks = jnp.asarray(rng.standard_normal((nb, kb, br, br)) / br, jnp.float32)
+    segs = np.clip(np.arange(nb)[:, None] + np.arange(kb)[None, :] - 1, 0, nb - 1) * br
+    Abd = BSR(blocks, jnp.asarray(segs, jnp.int32), (ndof, ndof), br, br)
+    u = jnp.asarray(rng.standard_normal((ndof, M)), jnp.float32)
+    spmm_rate = device_chain_rate(lambda y: bsr_spmm(Abd, y), u, Abd.nnz * M, spmm_reps)
+
+    jax.block_until_ready(prob.A.apply_bsr(u))  # build + cache the blocked stencil op
+    stencil_bsr_rate = device_chain_rate(
+        lambda y: bsr_spmm(prob.A._bsr, y), u, nnz * M, spmm_reps
+    )
 
     # (c) general sweeps at matched + production sizes
     def sweep_rate_at(nn):
@@ -237,6 +263,7 @@ def bench_sparse_path(n=256, n_big=1024, M=4, n_sweeps=10, reps=3, spmm_reps=50)
     return dict(
         dia_spmv_gnnz_s=round(dia_rate / 1e9, 3),
         bsr_spmm_gnnz_s=round(spmm_rate / 1e9, 3),
+        bsr_on_stencil_gnnz_s=round(stencil_bsr_rate / 1e9, 3),
         sweep_matched_gnnz_s=round(rate_matched / 1e9, 3),
         sweep_matched_residual=res_matched,
         sweep_matched_pcg_iters=iters_matched,

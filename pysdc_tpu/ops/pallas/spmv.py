@@ -73,3 +73,14 @@ def bsr_spmm(bsr, u, interpret: bool = False):
         interpret=interpret,
     )((bsr.seg_starts // bsr.bc).reshape(-1), bsr.blocks.astype(dtype), u.astype(dtype))
     return y
+
+
+# Block-size guidance (measured on hardware, 256x256 var-coeff diffusion,
+# B=4 node batch): br=8 is grid-step-bound (~32k Pallas steps of tiny 8x8
+# dots -> ~0.1 Gnnz/s); br=256 runs 768 steps of MXU-sized (256,256)x(256,B)
+# products and streams the dense blocks at HBM rate -> ~23 Gnnz/s per-call.
+# The lane padding of a small node batch (B=4 -> 128) is irrelevant because
+# the kernel is bound by block traffic, not MXU FLOPs.  A batch-major
+# variant (batch on sublanes, block columns on lanes) was measured and
+# rejected: its required (N, B) -> (B, N) input transpose costs more than
+# the whole SpMM.

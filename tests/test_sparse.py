@@ -124,6 +124,30 @@ def test_pallas_bsr_spmm():
     assert np.allclose(y, A.to_dense() @ u, atol=1e-12)
 
 
+def test_pallas_bsr_spmm_large_blocks():
+    from pysdc_tpu.ops.pallas.spmv import bsr_spmm
+
+    A = _random_csr(256, 256, 0.1)
+    Bs = BSR.from_csr(A, 128, 128)
+    u = RNG.normal(size=(256, 4))
+    y = np.asarray(bsr_spmm(Bs, jnp.asarray(u), interpret=True))
+    assert np.allclose(y, A.to_dense() @ u, atol=1e-12)
+
+
+def test_apply_bsr_auto_blocking():
+    """apply_bsr auto-picks the largest MXU-aligned block size dividing the
+    grid and matches the DIA apply."""
+    from pysdc_tpu.models.var_diffusion import VarCoeffDiffusion2D
+
+    coeff = lambda X, Y: 0.1 * (1.0 + 0.5 * np.sin(2 * np.pi * X) * np.cos(2 * np.pi * Y))
+    prob = VarCoeffDiffusion2D(nvars=(16, 16), coeff_fn=coeff, dtype=jnp.float64)
+    u = RNG.normal(size=(256, 3))
+    y = np.asarray(prob.A.apply_bsr(jnp.asarray(u), interpret=True))
+    assert prob.A._bsr.br == 256  # 16x16 grid -> n=256 -> full-size blocks
+    ref = np.stack([np.asarray(prob.A.apply(jnp.asarray(u[:, b]).reshape(16, 16))).ravel() for b in range(3)], axis=1)
+    assert np.allclose(y, ref, atol=1e-10)
+
+
 # ----------------------------------------------------------------------
 # structured factorizations
 # ----------------------------------------------------------------------
