@@ -34,6 +34,30 @@ def main():
     print(f'collocation residual after 12 sweeps: {float(res):.3e}')
     assert float(res) < 1e-8
 
+    # collocation coefficient sanity (reference tutorial step_1/A gates):
+    # weights integrate exactly, nodes ordered inside (0, 1], right end node
+    assert abs(float(jnp.sum(jnp.asarray(coll.weights))) - 1.0) < 1e-13
+    nodes = np.asarray(coll.nodes)
+    assert np.all(np.diff(nodes) > 0) and nodes[0] > 0 and abs(nodes[-1] - 1.0) < 1e-13
+    # Q row sums reproduce the node positions (integral of 1 from 0 to tau_m)
+    assert np.allclose(np.asarray(coll.q).sum(axis=1), nodes, atol=1e-13)
+
+    # every implicit preconditioner reaches the SAME collocation fixed point
+    for flavor in ('IE', 'MIN-SR-S'):
+        QD2 = qdelta_implicit(coll, flavor)[1:, 1:]
+        u2 = jnp.stack([u0] * coll.num_nodes)
+        for k in range(25):
+            f2 = jax.vmap(lambda v: prob.eval_f(v, 0.0))(u2)
+            rhs2 = u0[None] + dt * jnp.tensordot(jnp.asarray(coll.q - QD2), f2, axes=(1, 0))
+            for m in range(coll.num_nodes):
+                acc2 = rhs2[m]
+                for j in range(m):
+                    acc2 = acc2 + dt * QD2[m, j] * prob.eval_f(u2[j], 0.0)
+                u2 = u2.at[m].set(prob.solve_system(acc2, dt * QD2[m, m], u2[m], 0.0))
+        gap = float(jnp.max(jnp.abs(u2 - u)))
+        print(f'{flavor}: fixed-point gap vs LU iterate {gap:.3e}')
+        assert gap < 1e-8, flavor
+
 
 if __name__ == '__main__':
     main()

@@ -36,6 +36,19 @@ def main():
     series = get_sorted(stats, type='max_temperature')
     print('max temperature over time:', [f'{v:.4f}' for _, v in series])
     assert all(series[i][1] >= series[i + 1][1] for i in range(len(series) - 1)), 'heat must decay'
+    assert len(series) == 5, 'one custom entry per step expected'
+    # the decay rate matches the analytic factor exp(-nu*(2*pi*freq)^2*dt)
+    import numpy as np
+
+    # decay factor of the DISCRETE mode sin(pi*freq*x) per dt=0.1
+    dx = 1.0 / 64
+    lam = -0.1 * (2.0 - 2.0 * np.cos(np.pi * 2 * dx)) / dx**2
+    ratios = [series[i + 1][1] / series[i][1] for i in range(len(series) - 1)]
+    assert np.allclose(ratios, np.exp(lam * 0.1), rtol=1e-6), ratios
+    # default hooks also populated: niter + per-step timings alongside ours
+    iters = [v for _, v in get_sorted(stats, type='niter')]
+    assert len(iters) == 5 and all(1 <= v <= 20 for v in iters)
+    assert len(get_sorted(stats, type='timing_step')) == 5
 
 
 if __name__ == '__main__':

@@ -24,6 +24,12 @@ def main():
     nus = P.compute_Nusselt_numbers(uend)
     print('Nu(t=10):', nus)
     assert nus['V'] > 1.5, 'convection should have set in'
+    # during the transient the volume-averaged Nu leads the plate values,
+    # but no Nusselt number may dip below the conduction floor of ~1
+    assert nus['t'] > 0.9 and nus['b'] > 0.9, nus
+    # top/bottom plates stay near-symmetric while the plumes develop
+    assert abs(nus['t'] - nus['b']) < 0.5 * nus['V'], nus
+    assert bool(jnp.isfinite(uend).all()), 'fields blew up'
 
 
 if __name__ == '__main__':

@@ -208,6 +208,57 @@ class AdaptivityPolynomialError(AdaptivityBase):
                 self._flag_restart(S, e)
 
 
+class AdaptivityExtrapolationWithinQ(AdaptivityBase):
+    """Adaptivity from the within-collocation extrapolation estimate
+    (reference adaptivity.py:740): iterate the collocation problem to
+    convergence (restol/e_tol), then choose dt from the stage-order
+    estimate of :class:`EstimateExtrapolationErrorWithinQ`.  The update
+    order is the number of nodes (or nodes+1 with ``high_Taylor_order``)."""
+
+    def setup(self, controller, params, description, **kwargs):
+        mine = {'high_Taylor_order': False}
+        out = {**mine, **super().setup(controller, params, description, **kwargs)}
+        if 'e_tol' not in out:
+            raise ParameterError("within-Q extrapolation adaptivity requires an 'e_tol' parameter")
+        return out
+
+    def dependencies(self, controller, description, **kwargs):
+        from pysdc_tpu.convergence.estimate_extrapolation_error import (
+            EstimateExtrapolationErrorWithinQ,
+        )
+
+        super().dependencies(controller, description, **kwargs)
+        controller.add_convergence_controller(
+            EstimateExtrapolationErrorWithinQ,
+            description=description,
+            params={'high_Taylor_order': self.params.high_Taylor_order},
+        )
+
+    def _converged(self, S):
+        from pysdc_tpu.convergence.check_convergence import CheckConvergence
+
+        return CheckConvergence.check_convergence(S)
+
+    def get_local_error_estimate(self, controller, S, **kwargs):
+        est = getattr(S.levels[0].status, 'error_extrapolation_estimate', None)
+        return est if est is not None else 0.0
+
+    def get_new_step_size(self, controller, S, **kwargs):
+        if not self._converged(S):
+            return
+        lvl = S.levels[0]
+        e = self.get_local_error_estimate(controller, S)
+        if e > 0:
+            order = lvl.sweep.coll.num_nodes + (1 if self.params.high_Taylor_order else 0)
+            self._propose_dt(lvl, e, order, S)
+
+    def determine_restart(self, controller, S, **kwargs):
+        if self._converged(S):
+            e = self.get_local_error_estimate(controller, S)
+            if e >= self.params.e_tol:
+                self._flag_restart(S, e)
+
+
 class AdaptivityCollocation(AdaptivityBase):
     """Nested-quadrature adaptivity (reference adaptivity.py:587-700): solve
     the same step under a sequence of collocation rules; the difference of

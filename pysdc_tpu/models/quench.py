@@ -134,7 +134,10 @@ class Quench(Problem):
         from pysdc_tpu.parallel.nonmpi import ControllerNonMPI
 
         desc = dict(
-            problem_class=type(self),
+            # always the fully-implicit base problem: the IMEX subclass's
+            # split RHS pytree would crash the fully-implicit reference
+            # sweepers below (the reference pins Quench too, Quench.py:428)
+            problem_class=Quench,
             problem_params=dict(
                 Cv=self.Cv, K=self.K, u_thresh=self.u_thresh, u_max=self.u_max,
                 Q_max=self.Q_max, leak_range=self.leak_range, leak_type=self.leak_type,

@@ -321,7 +321,7 @@ def halo_stencil_apply(u, mesh, c0: float, cx: float, cy: float, axis: str = 'sp
         return _local_stencil_with_halo(u_loc, left_ghost, right_ghost, c0, cx, cy)
 
     spec = PartitionSpec(axis, None)
-    return shard_map(shard_fn, mesh=mesh, in_specs=(spec,), out_specs=spec)(u)
+    return shard_map(shard_fn, mesh=mesh, in_specs=(spec,), out_specs=spec, check_vma=False)(u)
 
 
 def halo_cross_apply(u, mesh, terms, axis: str = 'space'):
@@ -359,7 +359,7 @@ def halo_cross_apply(u, mesh, terms, axis: str = 'space'):
         return acc
 
     spec = PartitionSpec(axis, None)
-    return shard_map(shard_fn, mesh=mesh, in_specs=(spec,), out_specs=spec)(u)
+    return shard_map(shard_fn, mesh=mesh, in_specs=(spec,), out_specs=spec, check_vma=False)(u)
 
 
 def halo_cross_apply_batched(u, mesh, terms, axis: str = 'space'):
@@ -431,4 +431,4 @@ def halo_cross_apply_batched(u, mesh, terms, axis: str = 'space'):
 
     nb = u.ndim - 2
     spec = PartitionSpec(*([None] * nb), axis, None)
-    return shard_map(shard_fn, mesh=mesh, in_specs=(spec,), out_specs=spec)(u)
+    return shard_map(shard_fn, mesh=mesh, in_specs=(spec,), out_specs=spec, check_vma=False)(u)

@@ -107,26 +107,42 @@ class _BlockLevel:
     def _time_spec(self, leaf):
         return NamedSharding(self.mesh, self._spec(leaf))
 
+    def _time_vmap_kwargs(self):
+        """When an operator of this level runs the halo-exchange shard_map
+        and the mesh also has a time axis, the time-axis vmaps must carry
+        ``spmd_axis_name='time'`` so the inner space-only shard_map
+        partitions instead of all-gathering the block (SURVEY P6-P8 mixed
+        meshes; round-3 missing #5)."""
+        mesh = self.mesh
+        if mesh is None or 'time' not in mesh.axis_names or mesh.shape['time'] <= 1:
+            return {}
+        has_halo = any(
+            getattr(attr, '_halo', None) is not None
+            for attr in vars(self.level.prob).values()
+        )
+        return {'spmd_axis_name': 'time'} if has_halo else {}
+
     # -- kernels --------------------------------------------------------
     def _build_kernels(self):
         prob, sweep = self.level.prob, self.level.sweep
         mesh = self.mesh
+        tkw = self._time_vmap_kwargs()
 
         def predict(u0_block, t_arr, dt):
-            return jax.vmap(lambda u0, t: sweep.predict(prob, u0, t, dt, 0.0))(u0_block, t_arr)
+            return jax.vmap(lambda u0, t: sweep.predict(prob, u0, t, dt, 0.0), **tkw)(u0_block, t_arr)
 
         def do_sweep(states, t_arr, dt, active, k):
-            new = jax.vmap(lambda s, t: sweep.update_nodes(prob, s, t, dt, k))(states, t_arr)
+            new = jax.vmap(lambda s, t: sweep.update_nodes(prob, s, t, dt, k), **tkw)(states, t_arr)
             return _where_mask(active, new, states)
 
         def residual(states, dt):
             _, norms = jax.vmap(
-                lambda s: sweep.compute_residual(s, dt, self.level.params.residual_type)
+                lambda s: sweep.compute_residual(s, dt, self.level.params.residual_type), **tkw
             )(states)
             return norms
 
         def endpoint(states, t_arr, dt, active, uend_old):
-            new = jax.vmap(lambda s, t: sweep.compute_end_point(s, t, dt))(states, t_arr)
+            new = jax.vmap(lambda s, t: sweep.compute_end_point(s, t, dt), **tkw)(states, t_arr)
             return _where_mask(active, new, uend_old)
 
         def set_u0_one(s, u0, t, m):
@@ -138,7 +154,7 @@ class _BlockLevel:
         def shift_recv(states, uend, t_arr, recv_mask):
             """u0[j] <- uend[j-1] on masked steps (axis-0 shift -> ICI permute)."""
             u0_cand = jnp.concatenate([states.u[:1, 0], uend[:-1]], axis=0)
-            return jax.vmap(set_u0_one)(states, u0_cand, t_arr, recv_mask)
+            return jax.vmap(set_u0_one, **tkw)(states, u0_cand, t_arr, recv_mask)
 
         def coarse_chain_pipelined(states, uend, t_arr, dt, recv_mask, active, k):
             """Gauss-Seidel chain with the block state kept time-sharded:
@@ -362,12 +378,15 @@ class _BlockTransfer:
         self.coarse = coarse_block
 
         bt = base_transfer
+        tkw = {}
+        if coarse_block._time_vmap_kwargs() or fine_block._time_vmap_kwargs():
+            tkw = {'spmd_axis_name': 'time'}  # FAS re-evaluates f through halo ops
 
         def restrict(F_states, t_arr, dt_c, dt_f):
-            return jax.vmap(lambda s, t: bt._restrict_pure(s, t, dt_c, dt_f))(F_states, t_arr)
+            return jax.vmap(lambda s, t: bt._restrict_pure(s, t, dt_c, dt_f), **tkw)(F_states, t_arr)
 
         def prolong(F_states, G_states, G_uold, t_arr, dt_f):
-            return jax.vmap(lambda fs, gs, uo, t: bt._prolong_pure(fs, gs, uo, t, dt_f))(
+            return jax.vmap(lambda fs, gs, uo, t: bt._prolong_pure(fs, gs, uo, t, dt_f), **tkw)(
                 F_states, G_states, G_uold, t_arr
             )
 
@@ -397,15 +416,15 @@ class ShardedController(ControllerNonMPI):
             from pysdc_tpu.ops.linop import SeparableFDOperator
 
             space_sharded = dict(mesh.shape).get('space', 1) > 1
-            # space-ONLY decomposition (SURVEY P6/P7): eval_f/apply go
-            # through the halo-exchange path — one rx-deep ppermute per
-            # direction with ghost-independent taps overlapping the
-            # exchange — instead of GSPMD's per-tap boundary shuffles.
-            # (On mixed meshes the vmap-of-shard_map composition would
-            # all-gather the time/node axes, so those keep GSPMD rolls.)
-            space_only = space_sharded and all(
-                n == 1 for ax, n in dict(mesh.shape).items() if ax != 'space'
-            )
+            # Space-decomposed applies (SURVEY P6/P7) go through the
+            # halo-exchange path — one rx-deep ppermute per direction with
+            # ghost-independent taps overlapping the exchange — instead of
+            # GSPMD's per-tap boundary shuffles.  On time x space meshes the
+            # time-axis vmaps carry spmd_axis_name='time' so the inner
+            # space-only shard_map partitions (see _time_vmap_kwargs); only
+            # a sharded NODE axis still forces GSPMD rolls (the collocation
+            # axis threads through sweeper internals, not one vmap).
+            space_only = space_sharded and dict(mesh.shape).get('node', 1) == 1
             for S in self.MS:
                 for lvl in S.levels:
                     for attr in vars(lvl.prob).values():
@@ -457,16 +476,73 @@ class ShardedController(ControllerNonMPI):
     def template(self):
         return self.MS[0]
 
+    def run(self, u0, t0, Tend, lane='auto'):
+        """Single entry point, like the reference's one ``run()``
+        (controller_nonMPI.py:85).  ``lane='auto'`` (default) picks the
+        fastest eligible execution path: the fused device-resident block
+        runner (parallel/fused.py), its adaptive sibling (embedded-error
+        adaptivity + restarts on device), or the stage machine as the
+        general fallback.  The chosen lane is logged and recorded in stats
+        as a ``type='lane'`` entry.  Pass ``lane='stage'`` to force the
+        stage machine (e.g. for per-sweep diagnostics) or
+        ``lane='fused'``/``'fused_adaptive'`` to require a fast lane."""
+        from pysdc_tpu.parallel import fused
+
+        if lane == 'auto':
+            try:
+                fused.check_fused_eligibility(self)
+                lane = 'fused'
+            except ControllerError:
+                try:
+                    fused.check_fused_adaptive_eligibility(self)
+                    lane = 'fused_adaptive'
+                except ControllerError:
+                    lane = 'stage'
+
+        if lane == 'fused':
+            uend, _ = fused.run_fused(self, u0, t0, Tend)
+        elif lane == 'fused_adaptive':
+            uend, _ = fused.run_fused_adaptive(self, u0, t0, Tend)
+        elif lane == 'stage':
+            uend, _ = super().run(u0, t0, Tend)
+        else:
+            raise ControllerError(f'unknown execution lane {lane!r}')
+        self.logger.info(f'execution lane: {lane}')
+        self.hooks[0].add_to_stats(
+            process=-1, time=t0, level=-1, iter=-1, sweep=-1, type='lane', value=lane
+        )
+        return uend, self.return_stats()
+
+    def _advance(self, block):
+        if getattr(self, '_fused_adaptive', False):
+            from pysdc_tpu.parallel.fused import advance_fused_adaptive
+
+            return advance_fused_adaptive(self, block)
+        return super()._advance(block)
+
     def run_fused(self, u0, t0, Tend):
         """Whole-block device-resident run (parallel/fused.py): the entire
         PFASST iterate-until-converged loop compiles to ONE XLA program per
         block with zero host syncs.  Same uend and iteration counts as
         :meth:`run` (gated in tests/test_fused.py); stats carry the default
-        entries only.  Raises ControllerError for configurations needing the
-        stage machine (adaptivity, e_tol, k-dependent preconditioners)."""
-        from pysdc_tpu.parallel.fused import run_fused as _run_fused
+        entries only.  Adaptive configurations route to the device-resident
+        adaptive lane.  Raises ControllerError for configurations needing
+        the stage machine (HotRod, k-dependent preconditioners, hooks
+        needing per-sweep data, ...)."""
+        from pysdc_tpu.parallel import fused
 
-        return _run_fused(self, u0, t0, Tend)
+        try:
+            fused.check_fused_eligibility(self)
+        except ControllerError as plain_err:
+            try:
+                fused.check_fused_adaptive_eligibility(self)
+            except ControllerError as adaptive_err:
+                # raise the error for whichever lane the config is shaped for
+                if float(self.MS[0].levels[0].params.restol) < 0:
+                    raise adaptive_err
+                raise plain_err
+            return fused.run_fused_adaptive(self, u0, t0, Tend)
+        return fused.run_fused(self, u0, t0, Tend)
 
     # -- helpers ----------------------------------------------------------
     def _mask_of(self, steps):
@@ -487,8 +563,14 @@ class ShardedController(ControllerNonMPI):
             for s in self.MS
         ])
 
-    def _block_dt(self, running):
-        dts = {float(s.levels[0].params.dt) for s in running}
+    def _block_dt(self, running, lvl_idx=0):
+        """One dt per block per level.  Levels may carry DIFFERENT dts after
+        adaptive restarts: only the finest level gets a dt_new proposal, so
+        coarser levels keep their previous dt — the reference's per-level
+        spreading semantics (spread_step_sizes.py:133-154; FAS makes the
+        coarse level a preconditioner, so a stale coarse dt changes the
+        iteration, not the fixed point)."""
+        dts = {float(s.levels[lvl_idx].params.dt) for s in running}
         if len(dts) != 1:
             raise ControllerError(
                 f'sharded block kernels need one dt per block, got {sorted(dts)} '
@@ -531,7 +613,7 @@ class ShardedController(ControllerNonMPI):
     def _exchange(self, running, lvl_idx, record=False):
         """Batched uend -> u0 pipeline exchange on one level + comm hooks."""
         blk = self.blocks[lvl_idx]
-        t_arr, dt = self._block_times(), self._block_dt(running)
+        t_arr, dt = self._block_times(), self._block_dt(running, lvl_idx)
         mask = self._mask_of(running)
         self._comm_hooks(running, lvl_idx)  # send side
         blk.uend = blk.endpoint(blk.state, t_arr, dt, mask, blk.uend)
@@ -543,7 +625,7 @@ class ShardedController(ControllerNonMPI):
         """nsweeps batched sweeps on one level with exchanges and hooks,
         matching the virtual controller's per-level sweep loops."""
         blk = self.blocks[lvl_idx]
-        t_arr, dt = self._block_times(), self._block_dt(running)
+        t_arr, dt = self._block_times(), self._block_dt(running, lvl_idx)
         mask = self._mask_of(running)
         sweep = blk.level.sweep
         for k in range(nsweeps):
@@ -605,14 +687,16 @@ class ShardedController(ControllerNonMPI):
 
     def _burnin(self, running):
         """Batched pfasst_burnin: staggered coarse wavefront via masks."""
-        t_arr, dt = self._block_times(), self._block_dt(running)
+        t_arr = self._block_times()
+        dts = [self._block_dt(running, l) for l in range(self.nlevels)]
         slots = np.array([s.status.slot for s in running])
 
         for lvl, tr in enumerate(self.transfers):
             F, G = self.blocks[lvl], self.blocks[lvl + 1]
-            G.state, G.uold, G.fold = tr.restrict(F.state, t_arr, dt, dt)
+            G.state, G.uold, G.fold = tr.restrict(F.state, t_arr, dts[lvl + 1], dts[lvl])
 
         coarse = self.blocks[-1]
+        dt = dts[-1]
         coarse_idx = self.nlevels - 1
         for q in range(len(running)):
             sweep_mask = jnp.asarray(np.isin(np.arange(self.num_procs), slots[q:]))
@@ -629,41 +713,42 @@ class ShardedController(ControllerNonMPI):
         for lvl in range(self.nlevels - 1, 0, -1):
             tr = self.transfers[lvl - 1]
             F, G = self.blocks[lvl - 1], self.blocks[lvl]
-            F.state = tr.prolong(F.state, G.state, G.uold, t_arr, dt)
+            F.state = tr.prolong(F.state, G.state, G.uold, t_arr, dts[lvl - 1])
 
         self._exchange(running, 0)
         fine = self.blocks[0]
-        fine.state = fine.sweep(fine.state, t_arr, dt, self._mask_of(running), 0)
+        fine.state = fine.sweep(fine.state, t_arr, dts[0], self._mask_of(running), 0)
         self._sync_level(running, 0)
 
     def _full_multigrid(self, running):
         """Batched FMG predictor (see the virtual twin for the algorithm)."""
-        t_arr, dt = self._block_times(), self._block_dt(running)
+        t_arr = self._block_times()
+        dts = [self._block_dt(running, l) for l in range(self.nlevels)]
         mask = self._mask_of(running)
 
         for lvl, tr in enumerate(self.transfers):
             F, G = self.blocks[lvl], self.blocks[lvl + 1]
-            G.state, G.uold, G.fold = tr.restrict(F.state, t_arr, dt, dt)
+            G.state, G.uold, G.fold = tr.restrict(F.state, t_arr, dts[lvl + 1], dts[lvl])
 
         coarse = self.blocks[-1]
         coarse_idx = self.nlevels - 1
         self._comm_hooks(running, coarse_idx)
         recv = self._recv_mask_of(running)
         coarse.state, coarse.uend = coarse.coarse_chain(
-            coarse.state, coarse.uend, t_arr, dt, recv, mask, 0
+            coarse.state, coarse.uend, t_arr, dts[-1], recv, mask, 0
         )
         self._comm_hooks(running, coarse_idx)
 
         for l in range(self.nlevels - 1, 0, -1):
             tr = self.transfers[l - 1]
             F, G = self.blocks[l - 1], self.blocks[l]
-            F.state = tr.prolong(F.state, G.state, G.uold, t_arr, dt)
+            F.state = tr.prolong(F.state, G.state, G.uold, t_arr, dts[l - 1])
             if l - 1 > 0:
-                F.state = F.sweep(F.state, t_arr, dt, mask, 0)
+                F.state = F.sweep(F.state, t_arr, dts[l - 1], mask, 0)
 
         self._exchange(running, 0)
         fine = self.blocks[0]
-        fine.state = fine.sweep(fine.state, t_arr, dt, mask, 0)
+        fine.state = fine.sweep(fine.state, t_arr, dts[0], mask, 0)
         self._sync_level(running, 0)
 
     def _measure_at_check(self, running):
@@ -671,7 +756,7 @@ class ShardedController(ControllerNonMPI):
         sequence that follows is inherited unchanged."""
         self._exchange(running, 0)
         fine = self.blocks[0]
-        norms = fine.residual(fine.state, self._block_dt(running))
+        norms = fine.residual(fine.state, self._block_dt(running, 0))
         self._sync_level(running, 0)
         self._set_residuals(running, 0, 'IT_CHECK', norms)
 
@@ -683,12 +768,14 @@ class ShardedController(ControllerNonMPI):
             step.status.stage = 'IT_CHECK'
 
     def _restrict_cascade(self, running):
-        t_arr, dt = self._block_times(), self._block_dt(running)
+        t_arr = self._block_times()
         for lvl, tr in enumerate(self.transfers):
             F, G = self.blocks[lvl], self.blocks[lvl + 1]
             if lvl > 0:
                 self._masked_sweeps(running, lvl, self.nsweeps[lvl], 'IT_DOWN', record_last=False)
-            G.state, G.uold, G.fold = tr.restrict(F.state, t_arr, dt, dt)
+            G.state, G.uold, G.fold = tr.restrict(
+                F.state, t_arr, self._block_dt(running, lvl + 1), self._block_dt(running, lvl)
+            )
             self._sync_level(running, lvl + 1)
         for step in running:
             step.status.stage = 'IT_COARSE'
@@ -696,7 +783,7 @@ class ShardedController(ControllerNonMPI):
     def _coarse_chain(self, running):
         coarse = self.blocks[-1]
         coarse_idx = self.nlevels - 1
-        t_arr, dt = self._block_times(), self._block_dt(running)
+        t_arr, dt = self._block_times(), self._block_dt(running, coarse_idx)
         mask = self._mask_of(running)
         recv = self._recv_mask_of(running)
 
@@ -717,13 +804,13 @@ class ShardedController(ControllerNonMPI):
             step.status.stage = 'IT_UP' if self.nlevels > 1 else 'IT_CHECK'
 
     def _prolong_cascade(self, running):
-        t_arr, dt = self._block_times(), self._block_dt(running)
+        t_arr = self._block_times()
         for l in range(self.nlevels - 1, 0, -1):
             tr = self.transfers[l - 1]
             F, G = self.blocks[l - 1], self.blocks[l]
             # done steps were masked out of every sweep since restriction, so
             # their prolongation correction is exactly zero — no mask needed
-            F.state = tr.prolong(F.state, G.state, G.uold, t_arr, dt)
+            F.state = tr.prolong(F.state, G.state, G.uold, t_arr, self._block_dt(running, l - 1))
             self._sync_level(running, l - 1)
             if l - 1 > 0:
                 self._masked_sweeps(running, l - 1, self.nsweeps[l - 1], 'IT_UP')

@@ -2,13 +2,15 @@
 
 Counterpart of the reference ``MultiStep`` family
 (``implementations/sweeper_classes/Multistep.py``): an N-step method keeps a
-host-side cache of previous (t, u, f) values; each step is one Euleresque
-solve with the weighted history as right-hand side.  The cache makes this
-sweeper host-stateful, so the level calls ``update_nodes`` un-jitted (the
-inner solve/eval calls are still device-compiled).
+host-side rolling window of previous (t, u, f) values; each step is one
+Euleresque solve with the weighted history as right-hand side.  The history
+makes this sweeper host-stateful, so the level calls ``update_nodes``
+un-jitted (the inner solve/eval calls are still device-compiled).
 """
 
 from __future__ import annotations
+
+from collections import deque
 
 import jax.numpy as jnp
 
@@ -16,23 +18,27 @@ from pysdc_tpu.core.state import LevelState
 from pysdc_tpu.core.sweeper import Sweeper
 
 
-class Cache:
-    """History of previous steps (reference Multistep.py:5-52)."""
+class History:
+    """Rolling window of the last N accepted steps, oldest first."""
 
-    def __init__(self, num_steps: int):
-        self.num_steps = num_steps
-        self.u = [None] * num_steps
-        self.f = [None] * num_steps
-        self.t = [None] * num_steps
+    def __init__(self, depth: int):
+        self.depth = depth
+        self._entries: deque = deque(maxlen=depth)  # (t, u, f) tuples
 
-    def update(self, t, u, f):
-        self.u = self.u[1:] + [u]
-        self.f = self.f[1:] + [f]
-        self.t = self.t[1:] + [t]
+    def push(self, t, u, f):
+        self._entries.append((t, u, f))
 
     @property
-    def ready(self):
-        return None not in self.t
+    def full(self) -> bool:
+        return len(self._entries) == self.depth
+
+    @property
+    def empty(self) -> bool:
+        return not self._entries
+
+    def column(self, idx):
+        """All stored values of one component: 0 = t, 1 = u, 2 = f."""
+        return [entry[idx] for entry in self._entries]
 
 
 class MultiStep(Sweeper):
@@ -42,7 +48,7 @@ class MultiStep(Sweeper):
     alpha: list = None
     beta: list = None
 
-    #: the cache lives on the host; Level must not jit update_nodes
+    #: the history lives on the host; Level must not jit update_nodes
     host_stateful = True
     is_direct_solver = True
 
@@ -55,12 +61,12 @@ class MultiStep(Sweeper):
         )
         super().__init__(params)
         self.steps = len(self.alpha)
-        self.cache = Cache(self.steps)
+        self.history = History(self.steps)
 
     def predict(self, prob, u0, t, dt, random_val: float = 0.0) -> LevelState:
         f0 = prob.eval_f(u0, t)
-        if not any(me is not None for me in self.cache.t):
-            self.cache.update(float(t), u0, f0)
+        if self.history.empty:
+            self.history.push(float(t), u0, f0)
         u = jnp.stack([u0, u0], axis=0)
         f = jnp.stack([f0, f0], axis=0)
         tau = jnp.zeros((1,) + u0.shape, u0.dtype)
@@ -71,31 +77,34 @@ class MultiStep(Sweeper):
 
     def update_nodes(self, prob, state: LevelState, t, dt, k: int = 0) -> LevelState:
         time = t + dt
-        if not self.cache.ready:
+        if not self.history.full:
             u1 = self.generate_starting_values(prob, state, t, dt)
         else:
-            dts = [self.cache.t[i + 1] - self.cache.t[i] for i in range(self.steps - 1)] + [
-                float(time) - self.cache.t[-1]
-            ]
-            rhs = jnp.zeros_like(state.u[0])
-            for i in range(len(self.alpha)):
-                rhs = rhs - self.alpha[i] * self.cache.u[i]
-                rhs = rhs + dts[i] * self.beta[i] * self.cache.f[i]
-            u1 = prob.solve_system(rhs, dt * self.beta[-1], self.cache.u[-1], time)
+            ts = self.history.column(0)
+            us = self.history.column(1)
+            fs = self.history.column(2)
+            # spacing of each history point to its successor (the newest
+            # pairs with the step being computed)
+            spacings = [t1 - t0 for t0, t1 in zip(ts, ts[1:] + [float(time)])]
+            accum = jnp.zeros_like(state.u[0])
+            for a, b, h, u_i, f_i in zip(self.alpha, self.beta, spacings, us, fs):
+                accum = accum + h * b * f_i - a * u_i
+            u1 = prob.solve_system(accum, dt * self.beta[-1], us[-1], time)
 
         f1 = prob.eval_f(u1, time)
-        self.cache.update(float(time), u1, f1)
+        self.history.push(float(time), u1, f1)
         u = jnp.stack([state.u[0], u1], axis=0)
         f = jnp.stack([state.f[0], f1], axis=0)
         return LevelState(u=u, f=f, tau=state.tau)
 
     def generate_starting_values(self, prob, state, t, dt):
         raise NotImplementedError(
-            'No implementation for generating solutions when not enough previous values are available!'
+            f'{type(self).__name__} needs a starting procedure until its '
+            f'{self.steps}-deep history is filled'
         )
 
     def reset_history(self):
-        self.cache = Cache(self.steps)
+        self.history = History(self.steps)
 
 
 class AdamsBashforthExplicit1Step(MultiStep):

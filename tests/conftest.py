@@ -71,6 +71,12 @@ _SLOW = {
     ('test_runge_kutta.py', 'test_new_imex_order'),
     ('test_pallas_stencil.py', 'test_halo_cross_arbitrary_width[4]'),
     ('test_tpu_smoke.py', 'test_mlsdc_coarse_64_grid_runs'),
+    ('test_fused.py', 'test_fused_adaptive_allen_cahn_pfasst_block'),
+    ('test_examples.py', 'test_example_runs[step_12'),
+    ('test_examples.py', 'test_example_runs[step_13'),
+    ('test_examples.py', 'test_example_runs[step_14'),
+    ('test_fused.py', 'test_fused_adaptive_van_der_pol_block'),
+    ('test_fused.py', 'test_run_autodispatch_lanes'),
     ('test_tpu_smoke.py', 'test_restol_reachable_in_float32'),
 }
 

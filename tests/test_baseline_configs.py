@@ -75,7 +75,7 @@ def test_config3_allen_cahn_2d_sharded_space():
 
     mesh = make_mesh(n_time=2, n_space=4)
     sh = ShardedController(2, {'logger_level': 40}, desc, mesh=mesh)
-    u_sh, s_sh = sh.run(P.u_exact(0.0), 0.0, 4e-3)
+    u_sh, s_sh = sh.run(P.u_exact(0.0), 0.0, 4e-3, lane='stage')
     it_sh = [v for _, v in get_sorted(s_sh, type='niter')]
 
     assert it_ref == it_sh, (it_ref, it_sh)
@@ -124,7 +124,7 @@ def test_config5_heat3d_pfasst_sharded_time():
 
     mesh = make_mesh(n_time=4, n_space=2)
     sh = ShardedController(4, cp, desc, mesh=mesh)
-    u_sh, s_sh = sh.run(P.u_exact(0.0), 0.0, 0.4)
+    u_sh, s_sh = sh.run(P.u_exact(0.0), 0.0, 0.4, lane='stage')
     it_sh = [v for _, v in get_sorted(s_sh, type='niter')]
 
     assert it_ref == it_sh, (it_ref, it_sh)

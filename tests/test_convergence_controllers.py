@@ -172,3 +172,89 @@ def test_adaptivity_collocation_controls_step_size():
     assert all(0.001 < d < 0.2 for d in dts)
     err = float(jnp.max(jnp.abs(uend - P.u_exact(sum(dts)))))
     assert err < 5e-4
+
+
+# ----------------------------------------------------------------------
+# within-Q extrapolation estimate + adaptivity (reference
+# estimate_extrapolation_error.py:395, adaptivity.py:740)
+# ----------------------------------------------------------------------
+def _within_q_estimate(dt, num_nodes, quad_type):
+    """Plant a smooth exact solution at the collocation nodes and read the
+    within-Q extrapolation estimate (mirrors the reference's
+    tests/test_convergence_controllers/test_extrapolation_within_Q.py)."""
+    from pysdc_tpu.convergence.estimate_extrapolation_error import (
+        EstimateExtrapolationErrorWithinQ,
+    )
+    from pysdc_tpu.core.state import LevelState
+
+    desc = dict(
+        problem_class=Dahlquist,
+        problem_params=dict(lambdas=[-1.0]),
+        sweeper_class=GenericImplicit,
+        sweeper_params=dict(num_nodes=num_nodes, quad_type=quad_type, QI='IE'),
+        level_params=dict(dt=dt, restol=1.0),
+        step_params=dict(maxiter=0),
+        convergence_controllers={EstimateExtrapolationErrorWithinQ: {}},
+    )
+    c = ControllerNonMPI(1, {'logger_level': 40}, desc)
+    step = c.MS[0]
+    lvl = step.levels[0]
+    step.status.slot = 0
+    step.status.iter = 1
+    lvl.status.time = 0.0
+    lvl.status.residual = 0.0
+    lvl.predict(lvl.prob.u_exact(0.0))
+
+    # a random degree-20 polynomial (all derivatives generic), the
+    # reference's polynomial_testequation with degree=20
+    poly = np.random.default_rng(26266).standard_normal(21)
+    ts = np.concatenate([[0.0], np.asarray(lvl.sweep.coll.nodes) * dt])
+    vals = jnp.asarray(np.polyval(poly, ts))[:, None]
+    lvl.state = LevelState(u=vals.astype(lvl.state.u.dtype), f=lvl.state.f, tau=lvl.state.tau)
+
+    est = next(
+        C for C in c.convergence_controllers if type(C).__name__ == 'EstimateExtrapolationErrorWithinQ'
+    )
+    est.post_iteration_processing(c, step)
+    return float(lvl.status.error_extrapolation_estimate)
+
+
+@pytest.mark.parametrize('quad_type', ['RADAU-RIGHT', 'GAUSS'])
+@pytest.mark.parametrize('num_nodes', [2, 3, 4])
+def test_extrapolation_within_q_order(num_nodes, quad_type):
+    """The within-Q estimate converges with the stage order (num_nodes),
+    the gate the reference pins in test_extrapolation_within_Q.py."""
+    dts = np.logspace(-1, -3, 10)
+    errs = np.array([_within_q_estimate(dt, num_nodes, quad_type) for dt in dts])
+    mask = (errs < 1e-1) & (errs > 1e-12)
+    order = np.log(errs[mask][1:] / errs[mask][:-1]) / np.log(dts[mask][1:] / dts[mask][:-1])
+    assert np.isclose(np.mean(order), num_nodes, atol=0.5), (quad_type, num_nodes, np.mean(order))
+
+
+def test_adaptivity_extrapolation_within_q_van_der_pol():
+    """AdaptivityExtrapolationWithinQ controls the error of a converged
+    collocation solve (reference adaptivity.py:740): dt adapts, restarts
+    fire on overshoot, and the global error tracks e_tol."""
+    from pysdc_tpu.convergence.adaptivity import AdaptivityExtrapolationWithinQ
+
+    desc = dict(
+        problem_class=VanDerPol,
+        problem_params=dict(mu=5.0, u0=(2.0, 0.0), newton_tol=1e-11),
+        sweeper_class=GenericImplicit,
+        sweeper_params=dict(quad_type='RADAU-RIGHT', num_nodes=3, QI='LU'),
+        level_params=dict(dt=1e-2, restol=1e-10),
+        step_params=dict(maxiter=30),
+        convergence_controllers={AdaptivityExtrapolationWithinQ: {'e_tol': 1e-6}},
+    )
+    c = ControllerNonMPI(1, {'logger_level': 40}, desc)
+    P = c.MS[0].levels[0].prob
+    uend, stats = c.run(P.u_exact(0.0), 0.0, 1.0)
+
+    dts = [v for _, v in get_sorted(stats, type='dt', recomputed=False)]
+    assert len(set(np.round(dts, 12))) > 3, 'step size never changed'
+    ests = [v for _, v in get_sorted(stats, type='error_extrapolation_estimate', recomputed=False)]
+    assert ests and max(ests) < 1e-6 * 1.01, 'accepted steps must respect e_tol'
+
+    exact = P.u_exact(1.0)
+    err = float(jnp.max(jnp.abs(uend - exact)))
+    assert err < 1e-6 * len(dts) * 50, err

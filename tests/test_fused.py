@@ -169,12 +169,162 @@ def test_fused_imex_problem():
     assert float(jnp.max(jnp.abs(u_ref - u_fu))) < 1e-10
 
 
-def test_fused_rejects_adaptivity():
-    from pysdc_tpu.convergence.adaptivity import Adaptivity
+def test_fused_rejects_hotrod():
+    """Policies outside the adaptive stack still force the stage machine."""
+    from pysdc_tpu.convergence.hotrod import HotRod
 
     desc = _desc([63, 31], restol=-1.0)
-    desc['convergence_controllers'] = {Adaptivity: {'e_tol': 1e-7}}
+    desc['convergence_controllers'] = {HotRod: {'HotRod_tol': 1e-3}}
+    desc['step_params'] = dict(maxiter=5)
     cp = {'logger_level': 40, 'predict_type': 'pfasst_burnin'}
     sh = ShardedController(4, cp, desc)
     with pytest.raises(ControllerError, match='stage-machine'):
         sh.run_fused(sh.MS[0].levels[0].prob.u_exact(0.0), 0.0, 1.0)
+
+
+def test_fused_rejects_custom_hooks():
+    """Hooks needing per-sweep data (LogWork) force the stage machine rather
+    than silently returning empty stats (round-3 advisor finding)."""
+    from pysdc_tpu.hooks.logging_hooks import LogWork
+
+    desc = _desc([63, 31])
+    cp = {'logger_level': 40, 'predict_type': 'pfasst_burnin', 'hook_class': [LogWork]}
+    sh = ShardedController(4, cp, desc)
+    with pytest.raises(ControllerError, match='LogWork'):
+        sh.run_fused(sh.MS[0].levels[0].prob.u_exact(0.0), 0.0, 1.0)
+    # the single run() entry point transparently falls back
+    u0 = sh.MS[0].levels[0].prob.u_exact(0.0)
+    _, stats = sh.run(u0, 0.0, 0.5)
+    assert [v for k, v in stats.items() if k.type == 'lane'] == ['stage']
+
+
+def _lane_of(stats):
+    return [v for k, v in stats.items() if k.type == 'lane']
+
+
+def test_run_autodispatch_lanes():
+    """Default run() picks the fused lane for eligible configs, the adaptive
+    fused lane for the adaptivity stack, and the stage machine otherwise
+    (one run() like the reference, controller_nonMPI.py:85).  Tiny VdP
+    configs — the point is the lane routing, not the numerics."""
+    from pysdc_tpu.convergence.adaptivity import Adaptivity
+    from pysdc_tpu.models.odes import VanDerPol
+
+    def vdp_desc(cc=None):
+        cc = cc or {}
+        return dict(
+            problem_class=VanDerPol,
+            problem_params=dict(mu=5.0, u0=(2.0, 0.0), newton_tol=1e-10),
+            sweeper_class=GenericImplicit,
+            sweeper_params=dict(quad_type='RADAU-RIGHT', num_nodes=3, QI='LU'),
+            level_params=dict(restol=-1.0 if cc else 1e-8, dt=1e-2),
+            step_params=dict(maxiter=4),
+            convergence_controllers=dict(cc),
+        )
+
+    Tend = 3e-2
+    desc = vdp_desc()
+    sh = ShardedController(2, {'logger_level': 40}, desc)
+    u0 = sh.MS[0].levels[0].prob.u_exact(0.0)
+    _, stats = sh.run(u0, 0.0, Tend)
+    assert _lane_of(stats) == ['fused']
+
+    sh_ad = ShardedController(2, {'logger_level': 40}, vdp_desc({Adaptivity: {'e_tol': 1e-6}}))
+    _, stats_ad = sh_ad.run(u0, 0.0, Tend)
+    assert _lane_of(stats_ad) == ['fused_adaptive']
+
+    sh_lin = ShardedController(
+        2, {'logger_level': 40},
+        vdp_desc({Adaptivity: {'e_tol': 1e-6, 'embedded_error_flavor': 'linearized'}}),
+    )
+    _, stats_lin = sh_lin.run(u0, 0.0, Tend)
+    assert _lane_of(stats_lin) == ['stage']
+
+
+def _adaptive_parity(desc, cp, num_procs, Tend, dt_rtol=1e-6):
+    """Gate the adaptive fused lane against the stage-machine oracle:
+    identical iteration counts and restart patterns, matching dts and
+    embedded-error stats entries (values to float noise — adaptive dt
+    choices amplify last-bit XLA fusion differences over many steps)."""
+    ref = ControllerNonMPI(num_procs, cp, desc)
+    P = ref.MS[0].levels[0].prob
+    u_ref, s_ref = ref.run(P.u_exact(0.0), 0.0, Tend)
+    sh = ShardedController(num_procs, cp, desc)
+    u_fu, s_fu = sh.run(P.u_exact(0.0), 0.0, Tend)
+    assert _lane_of(s_fu) == ['fused_adaptive']
+
+    for kind in ('niter', 'restart'):
+        a = get_sorted(s_ref, type=kind, recomputed=None)
+        b = get_sorted(s_fu, type=kind, recomputed=None)
+        assert [v for _, v in a] == [v for _, v in b], kind
+    for kind in ('dt', 'error_embedded_estimate', 'residual_post_iteration',
+                 'residual_post_step', 'error_embedded_estimate_post_step'):
+        a = get_sorted(s_ref, type=kind, recomputed=None)
+        b = get_sorted(s_fu, type=kind, recomputed=None)
+        assert len(a) == len(b), kind
+        for (t1, v1), (t2, v2) in zip(a, b):
+            assert abs(t1 - t2) < 1e-9, (kind, t1, t2)
+            assert np.isclose(v1, v2, rtol=dt_rtol, atol=1e-11), (kind, t1, v1, v2)
+    return u_ref, u_fu
+
+
+def test_fused_adaptive_van_der_pol_single_step():
+    """Embedded-error adaptivity with restarts on the device-resident lane,
+    P=1 (serial adaptive SDC) — the reference's production mode
+    (adaptivity.py:80-97 + basic_restarting.py:134)."""
+    from pysdc_tpu.convergence.adaptivity import Adaptivity
+    from pysdc_tpu.models.odes import VanDerPol
+
+    desc = dict(
+        problem_class=VanDerPol,
+        problem_params=dict(mu=5.0, u0=(2.0, 0.0), newton_tol=1e-10),
+        sweeper_class=GenericImplicit,
+        sweeper_params=dict(quad_type='RADAU-RIGHT', num_nodes=3, QI='LU'),
+        level_params=dict(restol=-1.0, dt=1e-2),
+        step_params=dict(maxiter=4),
+        convergence_controllers={Adaptivity: {'e_tol': 1e-7}},
+    )
+    u_ref, u_fu = _adaptive_parity(desc, {'logger_level': 40}, 1, 0.25, dt_rtol=1e-7)
+    assert float(jnp.max(jnp.abs(u_ref - u_fu))) < 1e-10
+
+
+def test_fused_adaptive_van_der_pol_block():
+    """Blockwise adaptivity (restart cascading + donor dt spreading) through
+    the fused lane, P=4 Gauss-Seidel-free MSSDC."""
+    from pysdc_tpu.convergence.adaptivity import Adaptivity
+    from pysdc_tpu.models.odes import VanDerPol
+
+    desc = dict(
+        problem_class=VanDerPol,
+        problem_params=dict(mu=5.0, u0=(2.0, 0.0), newton_tol=1e-10),
+        sweeper_class=GenericImplicit,
+        sweeper_params=dict(quad_type='RADAU-RIGHT', num_nodes=3, QI='LU'),
+        level_params=dict(restol=-1.0, dt=2e-2),
+        step_params=dict(maxiter=7),
+        convergence_controllers={Adaptivity: {'e_tol': 1e-7}},
+    )
+    u_ref, u_fu = _adaptive_parity(desc, {'logger_level': 40, 'mssdc_jac': True}, 4, 0.24, dt_rtol=1e-7)
+    assert float(jnp.max(jnp.abs(u_ref - u_fu))) < 1e-10
+
+
+def test_fused_adaptive_allen_cahn_pfasst_block():
+    """Adaptive multi-level PFASST block (IMEX Allen-Cahn) with a step-size
+    limiter: the coarse level keeps its own dt after restarts (the
+    reference's per-level spreading, spread_step_sizes.py:133-154)."""
+    from pysdc_tpu.convergence.adaptivity import Adaptivity
+    from pysdc_tpu.models.allen_cahn import AllenCahnPeriodicSemiImplicitND
+    from pysdc_tpu.sweepers.imex import IMEXSweeper
+
+    desc = dict(
+        problem_class=AllenCahnPeriodicSemiImplicitND,
+        problem_params=dict(nvars=[(32, 32), (16, 16)], eps=0.2, radius=0.25),
+        sweeper_class=IMEXSweeper,
+        sweeper_params=dict(quad_type='RADAU-RIGHT', num_nodes=[3], QI='LU', QE='EE'),
+        level_params=dict(restol=-1.0, dt=1e-3),
+        step_params=dict(maxiter=4),
+        space_transfer_params=dict(rorder=2, iorder=6, periodic=True),
+        convergence_controllers={Adaptivity: {'e_tol': 1e-7, 'dt_max': 5e-3, 'dt_min': 1e-5}},
+    )
+    cp = {'logger_level': 40, 'predict_type': 'pfasst_burnin'}
+    u_ref, u_fu = _adaptive_parity(desc, cp, 4, 4e-3, dt_rtol=1e-5)
+    assert float(jnp.max(jnp.abs(u_ref - u_fu))) < 1e-8

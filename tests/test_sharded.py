@@ -45,7 +45,7 @@ def test_sharded_matches_virtual_pfasst(num_procs):
 
     mesh = make_mesh(n_time=num_procs, n_space=1)
     sh = ShardedController(num_procs, cp, desc, mesh=mesh)
-    u_sh, s_sh = sh.run(P.u_exact(0.0), 0.0, 1.0)
+    u_sh, s_sh = sh.run(P.u_exact(0.0), 0.0, 1.0, lane='stage')
     it_sh = [v for _, v in get_sorted(s_sh, type='niter')]
 
     assert it_ref == it_sh, f'iteration counts differ: {it_ref} vs {it_sh}'
@@ -64,7 +64,7 @@ def test_sharded_single_level_sdc_matches_virtual():
 
     mesh = make_mesh(n_time=4, n_space=1)
     sh = ShardedController(4, cp, desc, mesh=mesh)
-    u_sh, s_sh = sh.run(P.u_exact(0.0), 0.0, 1.0)
+    u_sh, s_sh = sh.run(P.u_exact(0.0), 0.0, 1.0, lane='stage')
     it_sh = [v for _, v in get_sorted(s_sh, type='niter')]
 
     assert it_ref == it_sh, f'iteration counts differ: {it_ref} vs {it_sh}'
@@ -91,7 +91,7 @@ def test_sharded_time_space_mesh_2d():
 
     mesh = make_mesh(n_time=4, n_space=2)
     sh = ShardedController(4, cp, desc, mesh=mesh)
-    u_sh, s_sh = sh.run(P.u_exact(0.0), 0.0, 0.2)
+    u_sh, s_sh = sh.run(P.u_exact(0.0), 0.0, 0.2, lane='stage')
     it_sh = [v for _, v in get_sorted(s_sh, type='niter')]
 
     assert it_ref == it_sh, f'iteration counts differ: {it_ref} vs {it_sh}'
@@ -114,7 +114,7 @@ def test_pipelined_coarse_chain_matches_replicated():
         sh = ShardedController(4, cp, desc, mesh=mesh, coarse_mode=mode)
         assert sh.coarse_mode == mode
         P0 = P0 or sh.template.levels[0].prob
-        u, s = sh.run(P0.u_exact(0.0), 0.0, 1.0)
+        u, s = sh.run(P0.u_exact(0.0), 0.0, 1.0, lane='stage')
         results[mode] = (u, [v for _, v in get_sorted(s, type='niter')])
     u_r, it_r = results['replicated']
     for mode in ('pipelined', 'owner'):
@@ -155,7 +155,7 @@ def test_sharded_three_axis_mesh():
     mesh = make_mesh(n_time=2, n_node=2, n_space=2)
     assert dict(zip(mesh.axis_names, mesh.devices.shape)) == {'time': 2, 'node': 2, 'space': 2}
     sh = ShardedController(2, cp, desc, mesh=mesh)
-    u_sh, s_sh = sh.run(P.u_exact(0.0), 0.0, 0.1)
+    u_sh, s_sh = sh.run(P.u_exact(0.0), 0.0, 0.1, lane='stage')
     it_sh = [v for _, v in get_sorted(s_sh, type='niter')]
 
     assert it_ref == it_sh, f'iteration counts differ: {it_ref} vs {it_sh}'
@@ -200,7 +200,7 @@ def test_sharded_stats_equivalence_adaptive_run():
     P = ref.MS[0].levels[0].prob
     _, s_ref = ref.run(P.u_exact(0.0), 0.0, 0.3)
     sh = ShardedController(4, cp, desc, mesh=make_mesh(n_time=4, n_space=1))
-    _, s_sh = sh.run(P.u_exact(0.0), 0.0, 0.3)
+    _, s_sh = sh.run(P.u_exact(0.0), 0.0, 0.3, lane='stage')
 
     for kind in ('niter', 'dt', 'restart', 'error_embedded_estimate',
                  'residual_post_iteration', 'residual_post_step', 'residual_post_sweep'):
@@ -243,7 +243,7 @@ def test_sharded_adaptivity_matches_virtual():
     restarts_ref = sum(v for _, v in get_sorted(s_ref, type='restart'))
 
     sh = ShardedController(4, cp, desc, mesh=make_mesh(n_time=4, n_space=1))
-    u_sh, s_sh = sh.run(P.u_exact(0.0), 0.0, 0.4)
+    u_sh, s_sh = sh.run(P.u_exact(0.0), 0.0, 0.4, lane='stage')
     dts_sh = get_sorted(s_sh, type='dt', recomputed=False)
     restarts_sh = sum(v for _, v in get_sorted(s_sh, type='restart'))
 
@@ -252,3 +252,37 @@ def test_sharded_adaptivity_matches_virtual():
         assert abs(t1 - t2) < 1e-10 and abs(d1 - d2) < 1e-9, ((t1, d1), (t2, d2))
     assert restarts_ref == restarts_sh
     assert float(jnp.max(jnp.abs(u_ref - u_sh))) < 1e-9
+
+
+def test_sharded_mixed_mesh_halo_lane():
+    """On a (time x space) mesh the halo-exchange apply now carries the
+    production path (round-3 missing #5): the time-axis vmaps run with
+    spmd_axis_name='time' so the inner space-only shard_map partitions
+    instead of all-gathering the block.  Gate: halo active on every level,
+    fused lane runs, and iteration counts + solution match the virtual
+    controller."""
+    desc = dict(
+        problem_class=HeatND,
+        problem_params=dict(nu=0.1, freq=2, nvars=[(32, 32), (16, 16)], bc='periodic'),
+        sweeper_class=GenericImplicit,
+        sweeper_params=dict(quad_type='RADAU-RIGHT', num_nodes=[3], QI='LU'),
+        level_params=dict(restol=1e-9, dt=0.05),
+        step_params=dict(maxiter=20),
+        space_transfer_params=dict(rorder=2, iorder=2, periodic=True),
+    )
+    cp = {'logger_level': 40, 'predict_type': 'pfasst_burnin'}
+    ref = ControllerNonMPI(2, cp, desc)
+    P = ref.MS[0].levels[0].prob
+    u_ref, s_ref = ref.run(P.u_exact(0.0), 0.0, 0.2)
+
+    mesh = make_mesh(n_time=2, n_space=4)
+    sh = ShardedController(2, cp, desc, mesh=mesh)
+    for lvl in sh.MS[0].levels:
+        assert getattr(lvl.prob.A, '_halo', None) is not None, 'halo must be active on mixed meshes'
+    u_sh, s_sh = sh.run(P.u_exact(0.0), 0.0, 0.2)
+
+    assert [v for k, v in s_sh.items() if k.type == 'lane'] == ['fused']
+    it_ref = [v for _, v in get_sorted(s_ref, type='niter')]
+    it_sh = [v for _, v in get_sorted(s_sh, type='niter')]
+    assert it_ref == it_sh, (it_ref, it_sh)
+    assert float(jnp.max(jnp.abs(u_ref - u_sh))) < 1e-12

@@ -607,3 +607,56 @@ def test_sparse_heat_2d_rides_pcg_with_exact_preconditioner():
     x_ei = p_ei.A.solve_shifted(rhs, 5e-4)
     assert int(k) <= 2
     np.testing.assert_allclose(np.asarray(x_sp), np.asarray(x_ei), rtol=1e-9, atol=1e-11)
+
+
+# ----------------------------------------------------------------------
+# Pallas DIA SpMV kernel (ops/pallas/dia.py)
+# ----------------------------------------------------------------------
+def _var_coeff_2d_matrix(n, periodic=True, seed=3):
+    """Variable-coefficient 2D 5-point matrix incl. wrap diagonals."""
+    rows = []
+    lap1 = CSR.diags([np.ones(n), -2.0 * np.ones(n), np.ones(n)], [-1, 0, 1], (n, n))
+    if periodic:
+        lap1 = CSR.from_dense(
+            lap1.to_dense() + np.eye(n, k=n - 1) + np.eye(n, k=-(n - 1))
+        )
+    eye = CSR.eye(n)
+    A2 = lap1.kron(eye) + eye.kron(lap1)
+    scale = 1.0 + 0.5 * np.random.default_rng(seed).standard_normal(n * n)
+    D = CSR.diags([scale], [0], (n * n, n * n))
+    return D.matmul(A2)
+
+
+@pytest.mark.parametrize('version', [1, 2])
+@pytest.mark.parametrize('n', [16, 24])
+def test_dia_pallas_kernel_matches_rolls(version, n):
+    """Both Pallas DIA kernels (per-diagonal grid v1, shared-window v2) must
+    reproduce the roll-path SpMV on periodic variable-coefficient matrices
+    whose offsets include +-1, +-n and the +-(n-1)/+-(n^2-n) wrap diagonals."""
+    from pysdc_tpu.ops.pallas.dia import dia_spmv
+    from pysdc_tpu.ops.sparse import DIA
+
+    A = _var_coeff_2d_matrix(n)
+    dia = DIA.from_csr(A)
+    assert dia is not None
+    u = jnp.asarray(RNG.standard_normal(n * n), jnp.float32)
+    want = np.asarray(A.to_dense(), np.float64) @ np.asarray(u, np.float64)
+    got_roll = np.asarray(jax.jit(dia.spmv)(u))
+    got_pal = np.asarray(dia_spmv(dia, u, Tr=8, interpret=True, version=version))
+    atol = 1e-4 * float(np.max(np.abs(want)) + 1)
+    np.testing.assert_allclose(got_roll, want, rtol=1e-4, atol=atol)
+    np.testing.assert_allclose(got_pal, want, rtol=1e-4, atol=atol)
+
+
+def test_dia_pallas_kernel_batched():
+    """Leading batch axes (the M collocation nodes) vmap through the kernel."""
+    from pysdc_tpu.ops.pallas.dia import dia_spmv
+    from pysdc_tpu.ops.sparse import DIA
+
+    n = 16
+    A = _var_coeff_2d_matrix(n, periodic=False)
+    dia = DIA.from_csr(A)
+    U = jnp.asarray(RNG.standard_normal((3, n * n)), jnp.float32)
+    want = np.asarray(jax.vmap(dia.spmv)(U))
+    got = np.asarray(dia_spmv(dia, U, Tr=8, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4 * np.max(np.abs(want)))
