@@ -200,8 +200,31 @@ class SparseOperator:
         return x.reshape(flat.shape)
 
     # -- apply -----------------------------------------------------------
+    def enable_pallas_dia(self, Tr=32, interpret=False):
+        """Route ``apply`` through the tiled Pallas DIA kernel
+        (ops/pallas/dia.py) instead of the roll-based SpMV.  Measured on
+        hardware the XLA roll path is FASTER at HBM-bound sizes (it fuses
+        the shifted reads), so rolls stay the default; the kernel is kept
+        as the explicit opt-in for configurations where per-diagonal
+        streaming wins (many diagonals, u resident in VMEM-scale tiles)."""
+        if self.dia is None:
+            from pysdc_tpu.core.errors import ProblemError
+
+            raise ProblemError('Pallas DIA apply needs a DIA-convertible matrix')
+        self._pallas_dia = (Tr, bool(interpret))
+        return self
+
+    def disable_pallas_dia(self):
+        self._pallas_dia = None
+        return self
+
     def _mv(self, flat):
         """A @ flat over the trailing (flattened-grid) axis."""
+        cfg = getattr(self, '_pallas_dia', None)
+        if cfg is not None and self.dia is not None:
+            from pysdc_tpu.ops.pallas.dia import dia_spmv
+
+            return dia_spmv(self.dia, flat, Tr=cfg[0], interpret=cfg[1])
         mv = self.dia if self.dia is not None else self.ell
         return mv.spmv(flat)
 

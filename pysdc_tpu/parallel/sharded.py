@@ -235,7 +235,10 @@ class _BlockLevel:
             step; idle chips wait at the ring permute, so the wall-clock
             is still the chain latency.  Requires a time-only mesh with
             P % n_time == 0 (checked in select_coarse_impl)."""
-            from jax.experimental.shard_map import shard_map
+            try:
+                from jax import shard_map
+            except ImportError:  # older jax
+                from jax.experimental.shard_map import shard_map
 
             n_time = mesh.shape['time']
             B = self.P // n_time

@@ -258,3 +258,41 @@ def test_adaptivity_extrapolation_within_q_van_der_pol():
     exact = P.u_exact(1.0)
     err = float(jnp.max(jnp.abs(uend - exact)))
     assert err < 1e-6 * len(dts) * 50, err
+
+
+# ----------------------------------------------------------------------
+# lossy-compression error injection (reference projects/compression/order.py)
+# ----------------------------------------------------------------------
+@pytest.mark.parametrize('abs_bound,ok', [(1e-12, True), (1e-2, False)])
+def test_compression_error_bound_controls_accuracy(abs_bound, ok):
+    """Round-tripping the iterates through a lossy compressor must leave the
+    solution untouched when the error bound sits below discretization error,
+    and floor the accuracy near the bound when it dominates — the trade-off
+    the reference's compression project studies."""
+    from pysdc_tpu.convergence.compression import Compression
+
+    desc = dict(
+        problem_class=HeatNDForced,
+        problem_params=dict(nvars=63, nu=0.1, freq=2, bc='dirichlet-zero'),
+        sweeper_class=IMEXSweeper,
+        sweeper_params=dict(num_nodes=3, QI='LU'),
+        level_params=dict(dt=0.05, restol=1e-10),
+        step_params=dict(maxiter=30),
+    )
+    c_ref = ControllerNonMPI(1, {'logger_level': 40}, desc)
+    P = c_ref.MS[0].levels[0].prob
+    u_ref, _ = c_ref.run(P.u_exact(0.0), 0.0, 0.25)
+    err_ref = float(jnp.max(jnp.abs(u_ref - P.u_exact(0.25))))
+
+    desc_c = {**desc, 'convergence_controllers': {Compression: {'abs_bound': abs_bound}}}
+    c = ControllerNonMPI(1, {'logger_level': 40}, desc_c)
+    u_c, _ = c.run(P.u_exact(0.0), 0.0, 0.25)
+    err_c = float(jnp.max(jnp.abs(u_c - P.u_exact(0.25))))
+
+    if ok:
+        # bound far below discretization error: accuracy unchanged
+        assert err_c < 2 * err_ref + 1e-11, (err_c, err_ref)
+    else:
+        # bound dominates: the error floors at the compression scale
+        assert err_c > 10 * err_ref, (err_c, err_ref)
+        assert err_c < 50 * abs_bound, (err_c, abs_bound)

@@ -660,3 +660,16 @@ def test_dia_pallas_kernel_batched():
     want = np.asarray(jax.vmap(dia.spmv)(U))
     got = np.asarray(dia_spmv(dia, U, Tr=8, interpret=True))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4 * np.max(np.abs(want)))
+
+
+def test_sparse_operator_pallas_dia_toggle():
+    """SparseFDOperator.apply can opt into the Pallas DIA kernel and must
+    match the roll path bit-for-bit at f32 tolerance."""
+    coeff = lambda X, Y: 0.1 * (1.0 + 0.5 * np.sin(2 * np.pi * X) * np.cos(2 * np.pi * Y))
+    prob = VarCoeffDiffusion2D(nvars=(16, 16), coeff_fn=coeff, dtype=jnp.float32)
+    u = jnp.asarray(RNG.standard_normal((3, 16, 16)), jnp.float32)
+    want = np.asarray(jax.jit(prob.A.apply)(u))
+    prob.A.enable_pallas_dia(Tr=8, interpret=True)
+    got = np.asarray(jax.jit(prob.A.apply)(u))
+    prob.A.disable_pallas_dia()
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5 * np.max(np.abs(want)))
