@@ -145,7 +145,10 @@ def check_fused_adaptive_eligibility(ctrl):
     linearized estimators, HotRod, ...) raises and runs the stage machine.
     """
     from pysdc_tpu.convergence.adaptivity import Adaptivity
-    from pysdc_tpu.convergence.estimate_embedded_error import EstimateEmbeddedError
+    from pysdc_tpu.convergence.estimate_embedded_error import (
+        EstimateEmbeddedError,
+        EstimateEmbeddedErrorLinearized,
+    )
     from pysdc_tpu.convergence.step_size_limiter import (
         StepSizeLimiter,
         StepSizeRounding,
@@ -159,6 +162,7 @@ def check_fused_adaptive_eligibility(ctrl):
         SpreadStepSizesBlockwise,
         Adaptivity,
         EstimateEmbeddedError,
+        EstimateEmbeddedErrorLinearized,
         StoreUOld,
         StepSizeLimiter,
         StepSizeSlopeLimiter,
@@ -471,7 +475,7 @@ def build_fused_adaptive_block(ctrl):
     from pysdc_tpu.convergence.estimate_embedded_error import EstimateEmbeddedError
 
     for C in ctrl.convergence_controllers:
-        if type(C) is EstimateEmbeddedError:
+        if isinstance(C, EstimateEmbeddedError):
             rel_error = bool(C.params.rel_error)
 
     def last_node(u):
@@ -676,6 +680,31 @@ def advance_fused_adaptive(ctrl, block):
     nsw = ctrl.nsweeps[0]
     eps = np.finfo(float).eps
 
+    # the linearized flavor displays the chain-differenced estimate
+    # |raw_j - raw_{j-1}| per check (estimate_embedded_error.py); raws come
+    # straight from the device history, the differencing is host arithmetic
+    from pysdc_tpu.convergence.estimate_embedded_error import (
+        EstimateEmbeddedErrorLinearized,
+    )
+
+    linearized = next(
+        (C for C in ctrl.convergence_controllers
+         if type(C) is EstimateEmbeddedErrorLinearized), None
+    )
+
+    def displayed_estimates(k):
+        raws = e_h[k]
+        if linearized is None:
+            return raws
+        out = np.empty_like(raws)
+        prev = 0.0
+        for j in range(len(raws)):
+            scale = (j + 1) if linearized.params.averaged else 1.0
+            out[j] = abs(raws[j] - prev) / scale
+            if not linearized.params.averaged:
+                prev = raws[j]
+        return out
+
     def set_check_status(step, k):
         j = step.status.slot
         step.status.iter = k
@@ -690,12 +719,13 @@ def advance_fused_adaptive(ctrl, block):
     # logs the previous check's estimate because the estimator policy runs
     # after the hook (nonmpi.py _route_after_check ordering).
     for k in range(1, maxiter):
+        shown = displayed_estimates(k)
         for step in block:
             set_check_status(step, k)
             ctrl._fire('pre_iteration', step, 0)
             ctrl._fire('post_iteration', step, 0)
             L = step.levels[0]
-            L.status.error_embedded_estimate = max(float(e_h[k, step.status.slot]), eps)
+            L.status.error_embedded_estimate = max(float(shown[step.status.slot]), eps)
             L.status.increment = L.status.error_embedded_estimate
 
     # final IT_CHECK through the genuine hook + policy sequence: the shadow

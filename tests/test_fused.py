@@ -233,12 +233,22 @@ def test_run_autodispatch_lanes():
     _, stats_ad = sh_ad.run(u0, 0.0, Tend)
     assert _lane_of(stats_ad) == ['fused_adaptive']
 
+    # the linearized estimator flavor rides the adaptive lane too (its
+    # chain differencing is host arithmetic on the fetched raw estimates)
     sh_lin = ShardedController(
         2, {'logger_level': 40},
         vdp_desc({Adaptivity: {'e_tol': 1e-6, 'embedded_error_flavor': 'linearized'}}),
     )
     _, stats_lin = sh_lin.run(u0, 0.0, Tend)
-    assert _lane_of(stats_lin) == ['stage']
+    assert _lane_of(stats_lin) == ['fused_adaptive']
+
+    from pysdc_tpu.convergence.adaptivity import AdaptivityResidual
+
+    sh_res = ShardedController(
+        2, {'logger_level': 40}, vdp_desc({AdaptivityResidual: {'e_tol': 1e3, 'max_restol': 1e-11}})
+    )
+    _, stats_res = sh_res.run(u0, 0.0, Tend)
+    assert _lane_of(stats_res) == ['stage']
 
 
 def _adaptive_parity(desc, cp, num_procs, Tend, dt_rtol=1e-6):
@@ -328,3 +338,23 @@ def test_fused_adaptive_allen_cahn_pfasst_block():
     cp = {'logger_level': 40, 'predict_type': 'pfasst_burnin'}
     u_ref, u_fu = _adaptive_parity(desc, cp, 4, 4e-3, dt_rtol=1e-5)
     assert float(jnp.max(jnp.abs(u_ref - u_fu))) < 1e-8
+
+
+def test_fused_adaptive_linearized_flavor_block():
+    """Blockwise MSSDC adaptivity with the LINEARIZED embedded estimator —
+    the flavor the reference uses for multi-step blocks — through the
+    adaptive fused lane, entry-for-entry against the stage machine."""
+    from pysdc_tpu.convergence.adaptivity import Adaptivity
+    from pysdc_tpu.models.odes import VanDerPol
+
+    desc = dict(
+        problem_class=VanDerPol,
+        problem_params=dict(mu=5.0, u0=(2.0, 0.0), newton_tol=1e-10),
+        sweeper_class=GenericImplicit,
+        sweeper_params=dict(quad_type='RADAU-RIGHT', num_nodes=3, QI='LU'),
+        level_params=dict(restol=-1.0, dt=1e-2),
+        step_params=dict(maxiter=7),
+        convergence_controllers={Adaptivity: {'e_tol': 1e-7, 'embedded_error_flavor': 'linearized'}},
+    )
+    u_ref, u_fu = _adaptive_parity(desc, {'logger_level': 40, 'mssdc_jac': True}, 4, 0.25, dt_rtol=1e-7)
+    assert float(jnp.max(jnp.abs(u_ref - u_fu))) < 1e-10
