@@ -144,7 +144,7 @@ def check_fused_adaptive_eligibility(ctrl):
     itself enforces restol < 0).  Everything else (RK-embedded adaptivity,
     linearized estimators, HotRod, ...) raises and runs the stage machine.
     """
-    from pysdc_tpu.convergence.adaptivity import Adaptivity
+    from pysdc_tpu.convergence.adaptivity import Adaptivity, AdaptivityRK
     from pysdc_tpu.convergence.estimate_embedded_error import (
         EstimateEmbeddedError,
         EstimateEmbeddedErrorLinearized,
@@ -161,6 +161,8 @@ def check_fused_adaptive_eligibility(ctrl):
         BasicRestarting,
         SpreadStepSizesBlockwise,
         Adaptivity,
+        AdaptivityRK,  # embedded pairs: the estimator reads the synced
+        # shadow state's secondary end point at the final check
         EstimateEmbeddedError,
         EstimateEmbeddedErrorLinearized,
         StoreUOld,
@@ -710,8 +712,13 @@ def advance_fused_adaptive(ctrl, block):
         step.status.iter = k
         L = step.levels[0]
         L.status.sweep = nsw
-        L.status.residual = float(res_h[k, j])
-        L.status.updated = False
+        if 'IT_CHECK' in L.sweep.skip_residual_computation:
+            # direct solvers (RK) skip residuals; mirror _set_residuals
+            if L.status.residual is None:
+                L.status.residual = 0.0
+        else:
+            L.status.residual = float(res_h[k, j])
+            L.status.updated = False
 
     # replay iterations 1..maxiter-1 (hook entries only; no policy acts
     # before the final iteration in this stack).  The embedded-error status
@@ -740,6 +747,13 @@ def advance_fused_adaptive(ctrl, block):
         L.uold = jax.tree_util.tree_map(
             lambda a, p: a.at[-1].set(p[j]), L.state.u, prev_last
         )
+        if maxiter == 1 and getattr(L.sweep, 'is_embedded', None) and L.sweep.is_embedded():
+            # check-#0 parity for direct embedded (RK) sweepers: the
+            # estimator also runs at iter=0 there, and from the spread
+            # predictor both weight rows contract identical f's, so the raw
+            # gap is exactly zero -> the eps floor the stage machine stores
+            L.status.error_embedded_estimate = eps
+            L.status.increment = eps
     ctrl._route_after_check(block)
     if not all(s.status.done for s in block):
         raise ControllerError('adaptive fused block did not complete at maxiter')

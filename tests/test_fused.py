@@ -358,3 +358,24 @@ def test_fused_adaptive_linearized_flavor_block():
     )
     u_ref, u_fu = _adaptive_parity(desc, {'logger_level': 40, 'mssdc_jac': True}, 4, 0.25, dt_rtol=1e-7)
     assert float(jnp.max(jnp.abs(u_ref - u_fu))) < 1e-10
+
+
+def test_fused_adaptive_rk_cash_karp():
+    """Embedded-RK adaptivity (AdaptivityRK + Cash-Karp pair) through the
+    adaptive fused lane: the estimator reads the secondary end point off
+    the synced shadow state at the final check (reference adaptivity.py:422)."""
+    from pysdc_tpu.convergence.adaptivity import AdaptivityRK
+    from pysdc_tpu.models.odes import VanDerPol
+    from pysdc_tpu.sweepers.runge_kutta import Cash_Karp
+
+    desc = dict(
+        problem_class=VanDerPol,
+        problem_params=dict(mu=5.0, u0=(2.0, 0.0), newton_tol=1e-10),
+        sweeper_class=Cash_Karp,
+        sweeper_params={},
+        level_params=dict(dt=1e-2, restol=-1),
+        step_params=dict(maxiter=1),
+        convergence_controllers={AdaptivityRK: {'e_tol': 1e-7, 'update_order': 5}},
+    )
+    u_ref, u_fu = _adaptive_parity(desc, {'logger_level': 40}, 1, 0.5, dt_rtol=1e-7)
+    assert float(jnp.max(jnp.abs(u_ref - u_fu))) < 1e-10
