@@ -16,11 +16,12 @@ Two lanes live here:
   loop over full blocks is ONE ``lax.scan`` program; termination is decided
   on device by a ``lax.while_loop``.
 - :func:`run_fused_adaptive` — the adaptive production stack (embedded-error
-  ``Adaptivity`` + restarts + step-size limiting, matching the reference's
-  ``adaptivity.py:80-97`` + ``basic_restarting.py:134``).  Adaptivity pins a
-  *fixed* iteration count (restol disabled), so each block is a fixed-depth
-  ``fori_loop`` that additionally tracks the embedded error history on
-  device.  dt stays a traced scalar (SURVEY §7 hard-part (e)) — step-size
+  ``Adaptivity`` with the standard OR linearized estimator flavor,
+  embedded-RK ``AdaptivityRK``, restarts, step-size limiting — matching the
+  reference's ``adaptivity.py:80-97,422`` + ``basic_restarting.py:134``).
+  Adaptivity pins a *fixed* iteration count (restol disabled), so each
+  block is a fixed-depth ``fori_loop`` that additionally tracks the
+  embedded error history on device.  dt stays a traced scalar (SURVEY §7 hard-part (e)) — step-size
   changes never retrace.  The host fetches (residual history, embedded-error
   history) ONCE per block and then replays the genuine convergence-policy
   and hook sequence (``_route_after_check``) on the shadow steps, so
