@@ -42,6 +42,7 @@ from pysdc_tpu.sweepers.generic_implicit import GenericImplicit
 from pysdc_tpu.sweepers.imex import IMEXSweeper
 from pysdc_tpu.sweepers.explicit import ExplicitSweeper
 from pysdc_tpu.sweepers.multi_implicit import MultiImplicitSweeper
+from pysdc_tpu.sweepers.linearized import LinearizedImplicitParallel
 from pysdc_tpu.utils.stats import filter_stats, get_list_of_types, get_sorted, sort_stats
 
 __version__ = '0.1.0'
@@ -55,6 +56,7 @@ __all__ = [
     'IMEXSweeper',
     'ExplicitSweeper',
     'MultiImplicitSweeper',
+    'LinearizedImplicitParallel',
     'filter_stats',
     'sort_stats',
     'get_sorted',
