@@ -84,6 +84,7 @@ _SLOW = {
     ('test_examples.py', 'test_example_runs[step_21'),
     ('test_examples.py', 'test_example_runs[step_22'),
     ('test_examples.py', 'test_example_runs[step_23'),
+    ('test_examples.py', 'test_example_runs[step_24'),
     ('test_fused.py', 'test_fused_adaptive_van_der_pol_block'),
     ('test_fused.py', 'test_run_autodispatch_lanes'),
     ('test_tpu_smoke.py', 'test_restol_reachable_in_float32'),
