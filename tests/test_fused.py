@@ -379,3 +379,45 @@ def test_fused_adaptive_rk_cash_karp():
     )
     u_ref, u_fu = _adaptive_parity(desc, {'logger_level': 40}, 1, 0.5, dt_rtol=1e-7)
     assert float(jnp.max(jnp.abs(u_ref - u_fu))) < 1e-10
+
+
+def test_fused_adaptive_on_device_mesh():
+    """The adaptive fused lane under a REAL (emulated 8-device) time mesh:
+    sharding the block over devices must not change the adaptive
+    trajectory — same lane, same iteration counts, same restart pattern
+    and matching accepted dts as the meshless adaptive run."""
+    from pysdc_tpu.convergence.adaptivity import Adaptivity
+    from pysdc_tpu.models.odes import VanDerPol
+
+    desc = dict(
+        problem_class=VanDerPol,
+        problem_params=dict(mu=5.0, u0=(2.0, 0.0), newton_tol=1e-10),
+        sweeper_class=GenericImplicit,
+        sweeper_params=dict(quad_type='RADAU-RIGHT', num_nodes=3, QI='LU'),
+        level_params=dict(restol=-1.0, dt=1e-2),
+        step_params=dict(maxiter=4),
+        convergence_controllers={Adaptivity: {'e_tol': 1e-7}},
+    )
+    cp = {'logger_level': 40}
+    Tend = 0.12
+
+    virt = ShardedController(4, cp, desc)
+    P = virt.MS[0].levels[0].prob
+    u_virt, s_virt = virt.run(P.u_exact(0.0), 0.0, Tend)
+    assert _lane_of(s_virt) == ['fused_adaptive']
+
+    mesh = make_mesh(n_time=4, n_space=1)
+    sh = ShardedController(4, cp, desc, mesh=mesh)
+    u_mesh, s_mesh = sh.run(P.u_exact(0.0), 0.0, Tend)
+    assert _lane_of(s_mesh) == ['fused_adaptive']
+
+    for kind in ('niter', 'restart'):
+        a = [v for _, v in get_sorted(s_virt, type=kind, recomputed=None)]
+        b = [v for _, v in get_sorted(s_mesh, type=kind, recomputed=None)]
+        assert a == b, kind
+    a = get_sorted(s_virt, type='dt', recomputed=None)
+    b = get_sorted(s_mesh, type='dt', recomputed=None)
+    assert len(a) == len(b)
+    for (t1, v1), (t2, v2) in zip(a, b):
+        assert abs(t1 - t2) < 1e-9 and np.isclose(v1, v2, rtol=1e-7, atol=1e-12)
+    assert float(jnp.max(jnp.abs(u_virt - u_mesh))) < 1e-9
