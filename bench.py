@@ -63,6 +63,33 @@ def _best_of(fn, tries=3):
     return best
 
 
+def _timed_inloop(fn, u0, R=50, tries=3):
+    """Per-call time of ``fn(u) -> scalar`` with the dispatch floor
+    amortized: R calls chained INSIDE one jit program via a floating-point
+    carry dependency (``u + 0*s`` — not foldable, so XLA cannot hoist or
+    CSE the repeated call), one scalar readback.  The axon tunnel's
+    program-dispatch floor measures ~27 ms on this host — larger than the
+    whole-block PFASST programs being compared — so single-dispatch timings
+    of the Amdahl split would only measure the tunnel (round-5 fix)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def prog(u):
+        def body(i, s):
+            return fn(u + s * jnp.asarray(0.0, u.dtype))
+
+        return jax.lax.fori_loop(0, R, body, jnp.zeros((), u.dtype))
+
+    float(prog(u0))  # warm
+    best = float('inf')
+    for _ in range(tries):
+        start = time.perf_counter()
+        float(prog(u0))
+        best = min(best, time.perf_counter() - start)
+    return best / R
+
+
 def bench_tpu_general(n=2048, M=4, n_sweeps=20):
     """General sweep loop: (update_nodes + residual) per sweep, the reps
     chained INSIDE one jit program (lax.fori_loop) with one scalar readback."""
@@ -363,6 +390,7 @@ def _coarse_chain_program(ctrl, n_chains):
         'owner': craw.coarse_owner,
         'pipelined': craw.coarse_pipelined,
         'replicated': craw.coarse_replicated,
+        'diag': craw.coarse_diag,
     }[ctrl.coarse_mode]
 
     def prog(u0c, t_arr, dt):
@@ -371,15 +399,9 @@ def _coarse_chain_program(ctrl, n_chains):
         cuend = jnp.zeros((P,) + blk.level.prob.shape, blk.level.prob.dtype)
         window = jnp.ones((P,), bool)
 
-        def wave(q, carry):
-            cst, cuend = carry
-            m = arange >= q
-            cst = craw.sweep(cst, t_arr, dt, m, 0)
-            cuend = craw.endpoint(cst, t_arr, dt, m, cuend)
-            cst = craw.shift_recv(cst, cuend, t_arr, arange >= q + 1)
-            return cst, cuend
-
-        cst, cuend = jax.lax.fori_loop(0, P, wave, (cst, cuend))
+        # burn-in wavefront, with the SAME kernel the fused lane uses
+        # (diag-basis when select_coarse_impl resolved 'diag')
+        cst, cuend = craw.wavefront_active(cst, cuend, t_arr, dt, window, P)
 
         def it(_, carry):
             cst, cuend = carry
@@ -422,6 +444,10 @@ def bench_pfasst_speedup_projected(P=8, n=512, n_coarse=256):
         problem_params=dict(nu=0.1, freq=4, nvars=[(n, n), (n_coarse, n_coarse)], bc='periodic',
                             dtype=jnp.float32),
         sweeper_class=GenericImplicit,
+        # N/2 coarsening: harder coarsening (N/4 + M-1 nodes) shrinks the
+        # chain further but costs PFASST iterations (measured: niter grows
+        # 1 -> 2..16 Gauss-Seidel-forwarded) — the diag-basis chain makes
+        # the serial term cheap enough that convergence wins the trade
         sweeper_params=dict(quad_type='RADAU-RIGHT', num_nodes=[3], QI='LU'),
         # restol is reachable in float32 only under the package's full-
         # precision matmul policy (core/precision.py): default bf16 MXU
@@ -442,33 +468,48 @@ def bench_pfasst_speedup_projected(P=8, n=512, n_coarse=256):
     serial = ShardedController(1, {'logger_level': 40}, desc_serial)
     prob = serial.MS[0].levels[0].prob
     u0 = prob.u_exact(0.0)
-    it_serial = [0]
+    _, s_ser = serial.run_fused(u0, 0.0, Tend)  # iteration counts once
+    it_serial = [[v for _, v in get_sorted(s_ser, type='niter')]]
 
-    def run_serial():
-        _, s = serial.run_fused(u0, 0.0, Tend)
-        it_serial[0] = [v for _, v in get_sorted(s, type='niter')]
+    from pysdc_tpu.parallel.fused import build_fused_block, build_fused_many
 
-    t_serial = _best_of(run_serial)
+    wdt = jnp.float32
+    # serial timing: the whole P-step march as ONE device program (scan of
+    # P one-step blocks), repeated in-jit (_timed_inloop: the ~27 ms axon
+    # dispatch floor would otherwise dominate every term of the split)
+    raw_serial = build_fused_block(serial)
+    many_serial = build_fused_many(serial, raw_serial)
+    starts = jnp.asarray(dt * np.arange(P), wdt)
+
+    def fn_serial(u):
+        uend, _, _ = many_serial(u, jnp.asarray(dt, wdt), starts)
+        return jnp.sum(uend)
+
+    t_serial = _timed_inloop(fn_serial, u0)
 
     # the whole block as ONE program, called directly for (iters, n_checks)
     block = ShardedController(P, cp, desc)
-    from pysdc_tpu.parallel.fused import build_fused_block
-
-    fused_fn = jax.jit(build_fused_block(block))
-    wdt = jnp.float32
+    fused_raw = build_fused_block(block)
+    fused_fn = jax.jit(fused_raw)
     t_arr = jnp.asarray(dt * np.arange(P), wdt)
     window = jnp.ones((P,), bool)
     uend, iters, _, n_checks = fused_fn(u0, t_arr, jnp.asarray(dt, wdt), window)
     it_block = [int(v) for v in np.asarray(iters)]
     n_chains = max(int(n_checks) - 1, 1)  # one coarse chain per work round
-    t_block = _best_of(
-        lambda: float(jnp.sum(fused_fn(u0, t_arr, jnp.asarray(dt, wdt), window)[0]))
-    )
+
+    def fn_block(u):
+        return jnp.sum(fused_raw(u, t_arr, jnp.asarray(dt, wdt), window)[0])
+
+    t_block = _timed_inloop(fn_block, u0)
 
     # the serial-in-time-rank component, timed as its own program
-    chain_fn = jax.jit(_coarse_chain_program(block, n_chains))
+    chain_prog = _coarse_chain_program(block, n_chains)
     u0c = block.blocks[-1].level.prob.u_exact(0.0)
-    t_chain = _best_of(lambda: float(chain_fn(u0c, t_arr, jnp.asarray(dt, wdt))))
+
+    def fn_chain(uc):
+        return chain_prog(uc, t_arr, jnp.asarray(dt, wdt))
+
+    t_chain = _timed_inloop(fn_chain, u0c)
     t_chain = min(t_chain, t_block)  # the chain is part of the block by construction
 
     stage = ControllerNonMPI(P, cp, desc)

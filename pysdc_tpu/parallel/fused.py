@@ -206,6 +206,7 @@ def _build_parts(ctrl):
         'owner': blocks[-1].raw.coarse_owner,
         'pipelined': blocks[-1].raw.coarse_pipelined,
         'replicated': blocks[-1].raw.coarse_replicated,
+        'diag': blocks[-1].raw.coarse_diag,
     }[ctrl.coarse_mode]
     arange = jnp.arange(P)
 
@@ -240,21 +241,16 @@ def _build_parts(ctrl):
 
     # -- predictors ------------------------------------------------------
     def predict_burnin(states, uends, t_arr, dts, window):
-        """Staggered coarse wavefront (nonmpi.py _burnin, batched via masks)."""
+        """Staggered coarse wavefront (nonmpi.py _burnin, batched via masks);
+        the wavefront kernel is the diag-basis one when select_coarse_impl
+        resolved 'diag' (the whole serial burn-in runs as elementwise hat-
+        space sweeps between one batched transform pair)."""
         states, uolds = restrict_all(states, t_arr, dts)
         craw = blocks[-1].raw
         n_active = jnp.sum(window.astype(jnp.int32))
-
-        def wave(q, carry):
-            cst, cuend = carry
-            sweep_mask = (arange >= q) & window
-            cst = craw.sweep(cst, t_arr, dts[-1], sweep_mask, 0)
-            cuend = craw.endpoint(cst, t_arr, dts[-1], sweep_mask, cuend)
-            recv = (arange >= q + 1) & window
-            cst = craw.shift_recv(cst, cuend, t_arr, recv)
-            return cst, cuend
-
-        cst, cuend = jax.lax.fori_loop(0, n_active, wave, (states[-1], uends[-1]))
+        cst, cuend = craw.wavefront_active(
+            states[-1], uends[-1], t_arr, dts[-1], window, n_active
+        )
         states[-1] = cst
         uends = list(uends)
         uends[-1] = cuend

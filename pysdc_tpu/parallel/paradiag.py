@@ -15,7 +15,12 @@ TPU-native realization: the entire block lives in one complex array
 leading axis, the node transforms dense (M, M) matmuls, and the L*M
 complex-shifted spatial solves one flat vmapped call — the whole iteration
 is a single XLA program.  This is the reference's P5 parallelism
-(SURVEY §2.10) with the time axis shardable over the device mesh.
+(SURVEY §2.10); passing ``mesh=`` with a 'time' axis shards the block's
+leading (L) axis over the devices: per-step solves stay chip-local and the
+two weighted DFT matmuls per iteration carry the (all-to-all-equivalent)
+collectives XLA inserts — the reference has no distributed ParaDiag at all
+(controller_ParaDiag_nonMPI.py:11 is virtual-only).  Parity between the
+sharded and unsharded controllers is gated in tests/test_paradiag.py.
 """
 
 from __future__ import annotations
@@ -133,6 +138,31 @@ class ParaDiagController(Controller):
         nodes = jnp.asarray(coll.nodes)
         average_jacobian = self.params.average_jacobian
 
+        # -- time-axis sharding (SURVEY P5) --------------------------------
+        # The block (L, M, *shape) carries the time axis sharded over the
+        # mesh's 'time' axis.  The weighted DFT is a dense (L, L) matmul
+        # over that axis — XLA inserts the one all-to-all-equivalent
+        # collective per transform (two per iteration); the per-step
+        # diagonalized node solves stay chip-local.  This is the TPU-native
+        # upgrade over the reference, whose ParaDiag controller is
+        # nonMPI-only (controller_ParaDiag_nonMPI.py:11).
+        mesh = self.mesh
+        time_sharded = (
+            mesh is not None
+            and 'time' in mesh.axis_names
+            and mesh.shape['time'] > 1
+            and L % mesh.shape['time'] == 0
+        )
+        self._time_sharded = time_sharded
+
+        def constrain(x):
+            if not time_sharded:
+                return x
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            spec = PartitionSpec('time', *([None] * (x.ndim - 1)))
+            return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
         W_fft, W_ifft = jnp.asarray(self.W_fft), jnp.asarray(self.W_ifft)
         S, S_inv, G_inv = jnp.asarray(self.S), jnp.asarray(self.S_inv), jnp.asarray(self.G_inv)
         w = jnp.asarray(self.w)
@@ -150,6 +180,7 @@ class ParaDiagController(Controller):
             """One ParaDiag iteration; returns (u_new, residual_norms)."""
             from pysdc_tpu.core.state import f_total
 
+            u = constrain(u)
             f = eval_all(u, t_arr, dt)
             ft = f_total(f)
             # all-at-once residual: u0 chain via uend = u[:, -1] (RADAU-RIGHT)
@@ -165,8 +196,9 @@ class ParaDiagController(Controller):
             else:
                 u_avg = None
 
-            # weighted FFT in time (dense matmul over the L axis)
-            res_hat = jnp.tensordot(W_fft, res.astype(W_fft.dtype), axes=(1, 0))
+            # weighted FFT in time (dense matmul over the L axis; when the
+            # time axis is sharded this is where XLA places the collective)
+            res_hat = constrain(jnp.tensordot(W_fft, res.astype(W_fft.dtype), axes=(1, 0)))
 
             # per-step diagonalized solves
             def solve_step(res_l, S_inv_l, S_l, G_inv_l, w_l, t_l):
@@ -181,7 +213,7 @@ class ParaDiagController(Controller):
             incr_hat = jax.vmap(solve_step)(res_hat, S_inv, S, G_inv, w, t_arr)
 
             # weighted iFFT in time, add increment
-            incr = jnp.tensordot(W_ifft, incr_hat, axes=(1, 0))
+            incr = constrain(jnp.tensordot(W_ifft, incr_hat, axes=(1, 0)))
             u_new = u + incr
             return u_new, res_norms
 
@@ -189,7 +221,13 @@ class ParaDiagController(Controller):
 
         def predict(u0, t_arr, dt):
             u0c = u0.astype(complex)
-            return jnp.broadcast_to(u0c, (L, M) + u0.shape)
+            u = jnp.broadcast_to(u0c, (L, M) + u0.shape)
+            if time_sharded:
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                spec = PartitionSpec('time', *([None] * (u.ndim - 1)))
+                u = jax.device_put(u, NamedSharding(mesh, spec))
+            return u
 
         self._predict = predict
 

@@ -225,6 +225,122 @@ class _BlockLevel:
                 uend_new = jax.lax.with_sharding_constraint(uend_new, self._time_spec(uend_new))
             return states_new, uend_new
 
+        # -- diagonal-basis serial chains (linear diagonalizable problems) --
+        # The Gauss-Seidel chain and the burn-in wavefront are the Amdahl
+        # term of PFASST: serialized in time-rank, they do not divide by P.
+        # When the level's operator is diagonalizable (all-periodic FD,
+        # tensor-product eigenbasis, spectral symbol — ops/diag_sdc.py), the
+        # WHOLE serial chain runs in the operator's diagonal basis: one
+        # batched transform of the full (P, M+1, *shape) block in, P tiny
+        # elementwise sweeps, one batched transform out — instead of 2*M
+        # transforms per step per link (each generic node solve is
+        # transform/divide/transform).  The serialized part collapses to
+        # elementwise VPU work; the transforms are batched over the block.
+        # Mathematically identical to the generic chain (the diag sweep is
+        # gated to roundoff in tests/test_diag_sdc.py; chain parity in
+        # tests/test_sharded.py).
+        from pysdc_tpu.sweepers.generic_implicit import GenericImplicit
+
+        arange = jnp.arange(self.P)
+        diag_op = getattr(prob, 'diagonalizable_operator', None)
+        self._diag_eligible = (
+            diag_op is not None
+            and mesh is None
+            # exactly GenericImplicit: subclasses (LinearizedImplicitParallel)
+            # override update_nodes with different sweep math
+            and type(sweep) is GenericImplicit
+            and not sweep.k_dependent
+        )
+
+        def _hat_setup(states, k):
+            from pysdc_tpu.ops.diag_sdc import _one_sweep_diag  # noqa: F401
+
+            uhat = diag_op.diag_forward(states.u)
+            tauhat = diag_op.diag_forward(states.tau)
+            sym = diag_op.diag_symbol
+            lam_dt = jnp.real(uhat).dtype
+            if np.iscomplexobj(sym):
+                lam_dt = jnp.promote_types(lam_dt, jnp.complex64)
+            lam = jnp.asarray(sym, lam_dt)
+            return uhat, tauhat, lam, sweep._qi(k)
+
+        def _endpoint_hat(uh, th, lam, dt):
+            """compute_end_point in the diagonal basis (linear in uhat)."""
+            if sweep.coll.right_is_node and not sweep.do_coll_update:
+                return uh[-1]
+            w = jnp.asarray(sweep.coll.weights, jnp.real(uh).dtype)
+            return uh[0] + dt * jnp.tensordot(w, lam * uh[1:], axes=(0, 0)) + th[-1]
+
+        def _hat_teardown(states, uend, uhat_new, uendhat_new, lam, mask):
+            """Back to real space; masked steps keep their exact old data
+            (a transform round-trip would perturb frozen steps by roundoff)."""
+            real = not jnp.iscomplexobj(states.u)
+            u = diag_op.diag_backward(uhat_new, states.u.dtype, real)
+            f = diag_op.diag_backward(lam * uhat_new, states.f.dtype, real)
+            new = _where_mask(mask, LevelState(u=u, f=f, tau=states.tau), states)
+            ue = diag_op.diag_backward(uendhat_new, uend.dtype, real)
+            return new, _where_mask(mask, ue, uend)
+
+        def coarse_chain_diag(states, uend, t_arr, dt, recv_mask, active, k):
+            """Serial Gauss-Seidel chain entirely in the diagonal basis."""
+            from pysdc_tpu.ops.diag_sdc import _one_sweep_diag
+
+            uhat, tauhat, lam, QI = _hat_setup(states, k)
+            uendhat = diag_op.diag_forward(uend)
+            q = sweep.coll.q
+
+            def body(carry_ue, inp):
+                uh, th, ueh_old, recv, act = inp
+                take = jnp.logical_and(recv, act)
+                uh = uh.at[0].set(jnp.where(take, carry_ue, uh[0]))
+                uh_sw = _one_sweep_diag(uh, lam, dt, q, QI, th)
+                uh_new = jnp.where(act, uh_sw, uh)
+                ueh = jnp.where(act, _endpoint_hat(uh_new, th, lam, dt), ueh_old)
+                return ueh, (uh_new, ueh)
+
+            _, (uhat_new, uendhat_new) = jax.lax.scan(
+                body, uhat[0, 0], (uhat, tauhat, uendhat, recv_mask, active)
+            )
+            return _hat_teardown(states, uend, uhat_new, uendhat_new, lam, active)
+
+        def wavefront(states, uend, t_arr, dt, window, n_rounds):
+            """Burn-in staggered coarse wavefront (nonmpi.py _burnin), as one
+            device loop: round q sweeps slots >= q and shifts uend forward."""
+
+            def wave(q, carry):
+                cst, cuend = carry
+                m = (arange >= q) & window
+                cst = do_sweep(cst, t_arr, dt, m, 0)
+                cuend = endpoint(cst, t_arr, dt, m, cuend)
+                cst = shift_recv(cst, cuend, t_arr, (arange >= q + 1) & window)
+                return cst, cuend
+
+            return jax.lax.fori_loop(0, n_rounds, wave, (states, uend))
+
+        def wavefront_diag(states, uend, t_arr, dt, window, n_rounds):
+            """The same wavefront with ALL rounds in the diagonal basis."""
+            from pysdc_tpu.ops.diag_sdc import _one_sweep_diag
+
+            uhat, tauhat, lam, QI = _hat_setup(states, 0)
+            uendhat = diag_op.diag_forward(uend)
+            q = sweep.coll.q
+            sweep_hat = jax.vmap(lambda uh, th: _one_sweep_diag(uh, lam, dt, q, QI, th))
+            end_hat = jax.vmap(lambda uh, th: _endpoint_hat(uh, th, lam, dt))
+
+            def wave(qr, carry):
+                uh, ueh = carry
+                m = (arange >= qr) & window
+                uh = _where_mask(m, sweep_hat(uh, tauhat), uh)
+                ueh = _where_mask(m, end_hat(uh, tauhat), ueh)
+                recv = (arange >= qr + 1) & window
+                u0c = jnp.concatenate([uh[:1, 0], ueh[:-1]], axis=0)
+                rm = recv.reshape((-1,) + (1,) * (u0c.ndim - 1))
+                uh = uh.at[:, 0].set(jnp.where(rm, u0c, uh[:, 0]))
+                return uh, ueh
+
+            uh, ueh = jax.lax.fori_loop(0, n_rounds, wave, (uhat, uendhat))
+            return _hat_teardown(states, uend, uh, ueh, lam, window)
+
         def coarse_chain_owner(states, uend, t_arr, dt, recv_mask, active, k):
             """Owner-computes Gauss-Seidel chain: the block stays
             time-sharded and ONLY the device owning the current step(s)
@@ -305,6 +421,7 @@ class _BlockLevel:
         self._coarse_replicated = jax.jit(coarse_chain_replicated, static_argnums=(6,))
         self._coarse_pipelined = jax.jit(coarse_chain_pipelined, static_argnums=(6,))
         self._coarse_owner = jax.jit(coarse_chain_owner, static_argnums=(6,))
+        self._coarse_diag = jax.jit(coarse_chain_diag, static_argnums=(6,))
         self.coarse_chain = self._coarse_replicated
         self._coarse_owner_raw = coarse_chain_owner
 
@@ -321,6 +438,12 @@ class _BlockLevel:
             coarse_replicated=coarse_chain_replicated,
             coarse_pipelined=coarse_chain_pipelined,
             coarse_owner=coarse_chain_owner,
+            coarse_diag=coarse_chain_diag,
+            wavefront=wavefront,
+            wavefront_diag=wavefront_diag,
+            # resolved by select_coarse_impl: the burn-in implementation the
+            # fused lane and the bench chain program should use
+            wavefront_active=wavefront,
         )
 
     def _owner_chain_eligible(self):
@@ -338,6 +461,10 @@ class _BlockLevel:
     def select_coarse_impl(self, mode='auto', threshold_bytes=4 << 20):
         """Pick the Gauss-Seidel chain implementation.
 
+        'diag' runs the whole serial chain (and the burn-in wavefront) in
+        the operator's diagonal basis — one batched transform in/out, P
+        elementwise sweep links — the single-chip default for linear
+        diagonalizable coarse problems (cuts the PFASST Amdahl term).
         'owner' keeps the block time-sharded and only the owning device
         sweeps each round (uend rides a ppermute ring) — no redundant
         compute, the scale-out default on a time-sharded mesh.
@@ -345,10 +472,12 @@ class _BlockLevel:
         chip redundantly computes the whole chain (lowest latency at toy
         sizes); 'pipelined' moves one step's state per round (bounded
         memory when the owner layout is unavailable).  'auto' prefers
-        'owner' on eligible meshes, then sizes between the other two via
-        ``threshold_bytes``."""
+        'diag', then 'owner' on eligible meshes, then sizes between the
+        other two via ``threshold_bytes``."""
         if mode == 'auto':
-            if self._owner_chain_eligible():
+            if self._diag_eligible:
+                mode = 'diag'
+            elif self._owner_chain_eligible():
                 mode = 'owner'
             else:
                 prob = self.level.prob
@@ -358,11 +487,20 @@ class _BlockLevel:
                 mode = 'pipelined' if est > threshold_bytes else 'replicated'
         if mode == 'owner' and not self._owner_chain_eligible():
             raise ControllerError('owner coarse chain needs a time-only mesh dividing P')
+        if mode == 'diag' and not self._diag_eligible:
+            raise ControllerError(
+                'diag coarse chain needs a diagonalizable operator, a fixed-QI '
+                'generic-implicit sweeper, and no device mesh'
+            )
         self.coarse_chain = {
             'owner': self._coarse_owner,
             'pipelined': self._coarse_pipelined,
             'replicated': self._coarse_replicated,
+            'diag': self._coarse_diag,
         }[mode]
+        self.raw.wavefront_active = (
+            self.raw.wavefront_diag if mode == 'diag' else self.raw.wavefront
+        )
         return mode
 
     def reset(self):

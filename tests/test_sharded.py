@@ -128,9 +128,32 @@ def test_coarse_mode_auto_selection():
     cp = {'logger_level': 40, 'predict_type': 'pfasst_burnin'}
     sh = ShardedController(4, cp, desc, mesh=make_mesh(n_time=4, n_space=1))
     assert sh.coarse_mode == 'owner'  # time-only mesh -> owner-computes ring
-    sh_none = ShardedController(4, cp, desc)  # no mesh: owner ineligible
-    assert sh_none.coarse_mode == 'replicated'  # tiny coarse state
-    assert sh_none.blocks[-1].select_coarse_impl('auto', threshold_bytes=1) == 'pipelined'
+    # no mesh + diagonalizable operator -> hat-space serial chain
+    sh_none = ShardedController(4, cp, desc)
+    assert sh_none.coarse_mode == 'diag'
+    blk = sh_none.blocks[-1]
+    blk._diag_eligible = False  # force the size-based fallback pair
+    assert blk.select_coarse_impl('auto', threshold_bytes=1 << 30) == 'replicated'
+    assert blk.select_coarse_impl('auto', threshold_bytes=1) == 'pipelined'
+
+
+def test_diag_coarse_chain_matches_replicated():
+    """The hat-space Gauss-Seidel chain and wavefront are the generic chain
+    to roundoff (the PFASST Amdahl-term fast path)."""
+    desc = _desc([63, 31])
+    cp = {'logger_level': 40, 'predict_type': 'pfasst_burnin'}
+    P = 4
+    a = ShardedController(P, cp, desc, coarse_mode='diag')
+    b = ShardedController(P, cp, desc, coarse_mode='replicated')
+    assert a.coarse_mode == 'diag' and b.coarse_mode == 'replicated'
+    prob = a.MS[0].levels[0].prob
+    u0 = prob.u_exact(0.0)
+    u_a, s_a = a.run_fused(u0, 0.0, P * 0.125)
+    u_b, s_b = b.run_fused(u0, 0.0, P * 0.125)
+    it_a = [v for _, v in get_sorted(s_a, type='niter')]
+    it_b = [v for _, v in get_sorted(s_b, type='niter')]
+    assert it_a == it_b, f'iteration counts differ: {it_a} vs {it_b}'
+    assert float(jnp.max(jnp.abs(u_a - u_b))) < 1e-11
 
 
 def test_sharded_three_axis_mesh():
