@@ -64,7 +64,7 @@ class VarCoeffDiffusion1D(Problem):
         return self.A.apply(u)
 
     def solve_system(self, rhs, factor, u0, t, node=None):
-        return self.A.solve_shifted(rhs, factor, node=node)
+        return self.A.solve_shifted(rhs, factor, x0=u0, node=node)
 
 
 class VarCoeffDiffusion2D(Problem):
@@ -134,7 +134,8 @@ class VarCoeffDiffusion2D(Problem):
         return self.A.apply(u)
 
     def solve_system(self, rhs, factor, u0, t, node=None):
-        return self.A.solve_shifted(rhs, factor, node=node)
+        # warm start: the previous sweep's node value cuts the Krylov depth
+        return self.A.solve_shifted(rhs, factor, x0=u0, node=node)
 
 
 class VarCoeffDiffusionForced1D(VarCoeffDiffusion1D):

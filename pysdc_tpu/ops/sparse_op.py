@@ -327,12 +327,21 @@ class SparseOperator:
             grid = r.reshape(r.shape[:-1] + self.grid_shape)
             return self.precond.solve_shifted(grid, factor).reshape(r.shape)
 
-        x = jnp.zeros_like(flat) if x0 is None else x0.reshape(flat.shape)
-        r = flat - mv(x)
-        z = M(r)
-        p = z
-        rz = jnp.sum(r * z)
+        if x0 is None:
+            x = jnp.zeros_like(flat)
+            r = flat
+        else:
+            x = x0.reshape(flat.shape)
+            r = flat - mv(x)
         b_norm = jnp.linalg.norm(flat.reshape(-1))
+
+        # deferred-z formulation: the preconditioner solve runs at the TOP
+        # of the body, so the classical loop's final (discarded) M(r) after
+        # the last residual update never executes — one spectral solve per
+        # actual iteration instead of iterations+1.  Same Krylov space,
+        # same iterates.
+        p0 = jnp.zeros_like(flat)
+        rz0 = jnp.ones((), flat.dtype)
 
         def cond(carry):
             x, r, p, rz, k = carry
@@ -341,17 +350,18 @@ class SparseOperator:
             )
 
         def body(carry):
-            x, r, p, rz, k = carry
+            x, r, p, rz_prev, k = carry
+            z = M(r)
+            rz = jnp.sum(r * z)
+            beta = jnp.where(k == 0, jnp.zeros((), rz.dtype), rz / rz_prev)
+            p = z + beta * p
             Ap = mv(p)
             alpha = rz / jnp.sum(p * Ap)
             x = x + alpha * p
             r = r - alpha * Ap
-            z = M(r)
-            rz_new = jnp.sum(r * z)
-            p = z + (rz_new / rz) * p
-            return x, r, p, rz_new, k + 1
+            return x, r, p, rz, k + 1
 
-        x, r, p, rz, k = jax.lax.while_loop(cond, body, (x, r, p, rz, jnp.asarray(0)))
+        x, r, p, rz, k = jax.lax.while_loop(cond, body, (x, r, p0, rz0, jnp.asarray(0)))
         return x, k
 
     def solve_shifted_info(self, rhs, factor, tol=1e-12, maxiter=1000):

@@ -35,9 +35,13 @@ match the virtual controller entry for entry (the invariant the reference
 pins in tests/test_tutorials/test_step_6.py:26-42; gated in
 tests/test_sharded.py).
 
-Known limitation: per-step problem-attribute overrides (e.g.
-``NewtonInexactness`` writing ``prob.newton_tol``) steer the shadow levels
-but not the batched kernels, which trace the template problem's values.
+Per-step problem-attribute overrides (``NewtonInexactness`` writing
+``prob.newton_tol``, ``SwitchEstimator`` writing ``t_switch``) are read off
+the shadow steps each sweep and enter the batched kernels as (P,)-shaped
+runtime arguments (``_block_overrides``), mirroring the Level layer's
+override threading — per-step values apply on the batched lanes exactly as
+on the virtual controller (gated in tests/test_sharded.py).  Exception: the
+owner-computes coarse chain keeps template values (see its docstring).
 """
 
 from __future__ import annotations
@@ -131,8 +135,34 @@ class _BlockLevel:
         def predict(u0_block, t_arr, dt):
             return jax.vmap(lambda u0, t: sweep.predict(prob, u0, t, dt, 0.0), **tkw)(u0_block, t_arr)
 
-        def do_sweep(states, t_arr, dt, active, k):
-            new = jax.vmap(lambda s, t: sweep.update_nodes(prob, s, t, dt, k), **tkw)(states, t_arr)
+        # mutable problem scalars (newton_tol written per step by
+        # NewtonInexactness, t_switch by SwitchEstimator) enter the batched
+        # kernels as (P,)-shaped runtime arguments, mirroring the Level
+        # layer's override threading (core/level.py _build_jitted) — the
+        # round-4 known limitation where batched kernels traced the template
+        # values while policies steered only the shadow levels.
+        self.traced_keys = tuple(k for k in ('newton_tol', 't_switch') if hasattr(prob, k))
+
+        def _with_ov(fn, ov):
+            old = {key: getattr(prob, key) for key in ov}
+            for key, val in ov.items():
+                setattr(prob, key, val)
+            try:
+                return fn()
+            finally:
+                for key, val in old.items():
+                    setattr(prob, key, val)
+
+        def _sweep_one(s, t, ov, dt, k):
+            return _with_ov(lambda: sweep.update_nodes(prob, s, t, dt, k), ov)
+
+        def do_sweep(states, t_arr, dt, active, k, overrides=None):
+            if overrides:
+                new = jax.vmap(lambda s, t, ov: _sweep_one(s, t, ov, dt, k), **tkw)(
+                    states, t_arr, overrides
+                )
+            else:
+                new = jax.vmap(lambda s, t: sweep.update_nodes(prob, s, t, dt, k), **tkw)(states, t_arr)
             return _where_mask(active, new, states)
 
         def residual(states, dt):
@@ -156,7 +186,7 @@ class _BlockLevel:
             u0_cand = jnp.concatenate([states.u[:1, 0], uend[:-1]], axis=0)
             return jax.vmap(set_u0_one, **tkw)(states, u0_cand, t_arr, recv_mask)
 
-        def coarse_chain_pipelined(states, uend, t_arr, dt, recv_mask, active, k):
+        def coarse_chain_pipelined(states, uend, t_arr, dt, recv_mask, active, k, overrides=None):
             """Gauss-Seidel chain with the block state kept time-sharded:
             each round materializes ONE step's state (dynamic slice — the
             owning chip broadcasts a single step over ICI), sweeps it
@@ -177,7 +207,11 @@ class _BlockLevel:
                 )
                 t_q, recv_q, act_q = t_arr[q], recv_mask[q], active[q]
                 s_q = set_u0_one(s_q, ue_prev, t_q, jnp.logical_and(recv_q, act_q))
-                s_sw = sweep.update_nodes(prob, s_q, t_q, dt, k)
+                ov_q = {
+                    key: jax.lax.dynamic_index_in_dim(v, q, 0, keepdims=False)
+                    for key, v in (overrides or {}).items()
+                }
+                s_sw = _with_ov(lambda: sweep.update_nodes(prob, s_q, t_q, dt, k), ov_q)
                 ue_sw = sweep.compute_end_point(s_sw, t_q, dt)
                 s_out = jax.tree_util.tree_map(
                     lambda a, b: jnp.where(act_q, a, b), s_sw, s_q
@@ -192,7 +226,7 @@ class _BlockLevel:
 
             return jax.lax.fori_loop(0, P, body, (states, uend))
 
-        def coarse_chain_replicated(states, uend, t_arr, dt, recv_mask, active, k):
+        def coarse_chain_replicated(states, uend, t_arr, dt, recv_mask, active, k, overrides=None):
             """Serial Gauss-Seidel chain over the time axis, computed
             redundantly on every chip via a replication constraint."""
             if mesh is not None:
@@ -203,20 +237,21 @@ class _BlockLevel:
                 uend = jax.lax.with_sharding_constraint(uend, rep)
 
             def body(carry_uend, inp):
-                s, ue_old, t, recv, act = inp
+                s, ue_old, t, recv, act, ov = inp
                 s = jax.lax.cond(
                     jnp.logical_and(recv, act), lambda s: set_u0_one(s, carry_uend, t, True), lambda s: s, s
                 )
 
                 def sweep_fn(s):
-                    s2 = sweep.update_nodes(prob, s, t, dt, k)
+                    s2 = _with_ov(lambda: sweep.update_nodes(prob, s, t, dt, k), ov)
                     return s2, sweep.compute_end_point(s2, t, dt)
 
                 s_new, ue_new = jax.lax.cond(act, sweep_fn, lambda s: (s, ue_old), s)
                 return ue_new, (s_new, ue_new)
 
             _, (states_new, uend_new) = jax.lax.scan(
-                body, states.u[0, 0], (states, uend, t_arr, recv_mask, active)
+                body, states.u[0, 0],
+                (states, uend, t_arr, recv_mask, active, overrides or {}),
             )
             if mesh is not None:
                 states_new = jax.lax.with_sharding_constraint(
@@ -281,8 +316,10 @@ class _BlockLevel:
             ue = diag_op.diag_backward(uendhat_new, uend.dtype, real)
             return new, _where_mask(mask, ue, uend)
 
-        def coarse_chain_diag(states, uend, t_arr, dt, recv_mask, active, k):
-            """Serial Gauss-Seidel chain entirely in the diagonal basis."""
+        def coarse_chain_diag(states, uend, t_arr, dt, recv_mask, active, k, overrides=None):
+            """Serial Gauss-Seidel chain entirely in the diagonal basis.
+            ``overrides`` is accepted for signature parity and ignored: the
+            diag chain is an exact linear solve (no Newton, no switching)."""
             from pysdc_tpu.ops.diag_sdc import _one_sweep_diag
 
             uhat, tauhat, lam, QI = _hat_setup(states, k)
@@ -341,7 +378,7 @@ class _BlockLevel:
             uh, ueh = jax.lax.fori_loop(0, n_rounds, wave, (uhat, uendhat))
             return _hat_teardown(states, uend, uh, ueh, lam, window)
 
-        def coarse_chain_owner(states, uend, t_arr, dt, recv_mask, active, k):
+        def coarse_chain_owner(states, uend, t_arr, dt, recv_mask, active, k, overrides=None):
             """Owner-computes Gauss-Seidel chain: the block stays
             time-sharded and ONLY the device owning the current step(s)
             sweeps — a per-device ``lax.cond`` inside ``shard_map`` — while
@@ -350,7 +387,9 @@ class _BlockLevel:
             execute the whole serial chain), total work is one sweep per
             step; idle chips wait at the ring permute, so the wall-clock
             is still the chain latency.  Requires a time-only mesh with
-            P % n_time == 0 (checked in select_coarse_impl)."""
+            P % n_time == 0 (checked in select_coarse_impl).  Per-step
+            ``overrides`` are not threaded through the shard_map (the
+            owner chain keeps template problem scalars)."""
             try:
                 from jax import shard_map
             except ImportError:  # older jax
@@ -720,6 +759,19 @@ class ShardedController(ControllerNonMPI):
             )
         return dts.pop()
 
+    def _block_overrides(self, lvl_idx):
+        """(P,)-shaped per-step problem scalars (newton_tol, t_switch) read
+        from the shadow steps — policies like NewtonInexactness and
+        SwitchEstimator write them per step; the batched kernels consume
+        them as runtime arguments (round-4 known limitation, closed)."""
+        keys = getattr(self.blocks[lvl_idx], 'traced_keys', ())
+        if not keys:
+            return None
+        return {
+            key: jnp.asarray([float(getattr(S.levels[lvl_idx].prob, key)) for S in self.MS])
+            for key in keys
+        }
+
     def _sync_level(self, running, lvl_idx):
         """Refresh shadow views: each step's Level points at its slice of the
         block state, so hooks and convergence policies read live data."""
@@ -777,7 +829,7 @@ class ShardedController(ControllerNonMPI):
             for step in running:
                 self._fire('pre_sweep', step, lvl_idx)
             kk = running[0].levels[lvl_idx].status.sweep if sweep.k_dependent else 0
-            blk.state = blk.sweep(blk.state, t_arr, dt, mask, kk)
+            blk.state = blk.sweep(blk.state, t_arr, dt, mask, kk, self._block_overrides(lvl_idx))
             norms = blk.residual(blk.state, dt)
             self._sync_level(running, lvl_idx)
             self._set_residuals(running, lvl_idx, stage, norms)
@@ -839,9 +891,10 @@ class ShardedController(ControllerNonMPI):
         coarse = self.blocks[-1]
         dt = dts[-1]
         coarse_idx = self.nlevels - 1
+        ov_coarse = self._block_overrides(coarse_idx)
         for q in range(len(running)):
             sweep_mask = jnp.asarray(np.isin(np.arange(self.num_procs), slots[q:]))
-            coarse.state = coarse.sweep(coarse.state, t_arr, dt, sweep_mask, 0)
+            coarse.state = coarse.sweep(coarse.state, t_arr, dt, sweep_mask, 0, ov_coarse)
             self._comm_hooks(running[q:], coarse_idx)
             coarse.uend = coarse.endpoint(coarse.state, t_arr, dt, sweep_mask, coarse.uend)
             recv_np = np.isin(np.arange(self.num_procs), slots[q + 1 :])
@@ -876,7 +929,8 @@ class ShardedController(ControllerNonMPI):
         self._comm_hooks(running, coarse_idx)
         recv = self._recv_mask_of(running)
         coarse.state, coarse.uend = coarse.coarse_chain(
-            coarse.state, coarse.uend, t_arr, dts[-1], recv, mask, 0
+            coarse.state, coarse.uend, t_arr, dts[-1], recv, mask, 0,
+            self._block_overrides(coarse_idx),
         )
         self._comm_hooks(running, coarse_idx)
 
@@ -932,7 +986,8 @@ class ShardedController(ControllerNonMPI):
         for step in running:
             self._fire('pre_sweep', step, coarse_idx)
         coarse.state, coarse.uend = coarse.coarse_chain(
-            coarse.state, coarse.uend, t_arr, dt, recv, mask, 0
+            coarse.state, coarse.uend, t_arr, dt, recv, mask, 0,
+            self._block_overrides(coarse_idx),
         )
         norms = coarse.residual(coarse.state, dt)
         self._sync_level(running, coarse_idx)

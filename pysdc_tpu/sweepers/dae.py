@@ -87,6 +87,80 @@ class FullyImplicitDAE(Sweeper):
         return state.u[-1]
 
 
+class RungeKuttaDAE:
+    """Runge-Kutta methods for fully-implicit DAEs ``0 = F(u, u', t)``
+    (reference ``projects/DAE/sweepers/rungeKuttaDAE.py:11-183``).
+
+    The stage unknowns are the derivatives ``U_m``; each stage solves
+
+        0 = F(u0 + dt*sum_{j<=m} a_mj U_j, U_m, t + c_m dt)
+
+    by the problem's DAE Newton (``solve_system_dae``), and the node values
+    are recovered as ``u = u0 + dt A U``.  Mixed into a concrete
+    :class:`~pysdc_tpu.sweepers.runge_kutta.RungeKutta` tableau class (see
+    the *DAE classes below), exactly as the reference composes
+    ``RungeKuttaDAE`` with its tableau classes.
+
+    Like the reference, the step's initial derivative ``f[0]`` is carried on
+    the sweeper across steps (``du_init = U_M`` of the previous step; the
+    first step uses ``prob.du_exact(t0)``) — host state, so the sweeper is
+    ``host_stateful`` like the multistep family and level kernels stay
+    unjitted at the top (inner Newton solves still trace/jit internally).
+    """
+
+    #: carried initial derivative (reference rungeKuttaDAE.py:84-104)
+    host_stateful = True
+
+    def __init__(self, params: dict):
+        super().__init__(params)
+        self.du_init = None
+
+    def predict(self, prob, u0, t, dt, random_val: float = 0.0) -> LevelState:
+        M = self.coll.num_nodes
+        if self.du_init is None:
+            self.du_init = jnp.asarray(prob.du_exact(float(t)), u0.dtype)
+        du0 = self.du_init
+        u = jnp.concatenate([u0[None], jnp.zeros((M,) + u0.shape, u0.dtype)], axis=0)
+        f = jnp.concatenate([du0[None], jnp.zeros((M,) + u0.shape, u0.dtype)], axis=0)
+        tau = jnp.zeros((M,) + u0.shape, u0.dtype)
+        return LevelState(u=u, f=f, tau=tau)
+
+    def update_nodes(self, prob, state: LevelState, t, dt, k: int = 0) -> LevelState:
+        M = self.coll.num_nodes
+        du_list = [state.f[m] for m in range(M + 1)]
+        for m in range(M):
+            u_approx = state.u[0]
+            for j in range(1, m + 1):
+                if self.QI[m + 1, j] != 0.0:
+                    u_approx = u_approx + dt * float(self.QI[m + 1, j]) * du_list[j]
+            # stage guess: the previous stage's derivative (reference :148)
+            du_list[m + 1] = prob.solve_system_dae(
+                u_approx, dt * float(self.QI[m + 1, m + 1]), du_list[m],
+                t + dt * float(self.coll.nodes[m + 1]),
+            )
+        f = jnp.stack(du_list, axis=0)
+        u_nodes = state.u[0][None] + dt * _tensordot_nodes(self.coll.q, f[1:])
+        u = jnp.concatenate([state.u[:1], u_nodes], axis=0)
+        self.du_init = f[-1]  # concrete (host_stateful: no jit at this layer)
+        return LevelState(u=u, f=f, tau=state.tau)
+
+    def compute_residual(self, state: LevelState, dt, residual_type: str = 'full_abs', prob=None, t=0.0):
+        return FullyImplicitDAE.compute_residual(self, state, dt, residual_type, prob, t)
+
+    def compute_end_point(self, state: LevelState, t, dt):
+        """u0 + dt * b @ U (u[-1] when stiffly accurate) — the base RK
+        endpoint already contracts the weights against f = U."""
+        return super().compute_end_point(state, t, dt)
+
+
+def _make_rk_dae(name, tableau_cls):
+    from pysdc_tpu.sweepers import runge_kutta as rk
+
+    cls = type(name, (RungeKuttaDAE, getattr(rk, tableau_cls)), {})
+    cls.__doc__ = f"{tableau_cls} applied to 0 = F(u, u', t) (reference rungeKuttaDAE.py:170-183)."
+    return cls
+
+
 class SemiImplicitDAE(FullyImplicitDAE):
     """Semi-explicit DAEs: differential variables integrated, algebraic
     variables solved directly (reference semiImplicitDAE.py).  The problem
@@ -116,3 +190,9 @@ class SemiImplicitDAE(FullyImplicitDAE):
         u_nodes = u_nodes.at[:, nd:].set(f[1:, nd:])
         u = jnp.concatenate([state.u[:1], u_nodes], axis=0)
         return LevelState(u=u, f=f, tau=state.tau)
+
+
+BackwardEulerDAE = _make_rk_dae('BackwardEulerDAE', 'BackwardEuler')
+TrapezoidalRuleDAE = _make_rk_dae('TrapezoidalRuleDAE', 'CrankNicolson')
+DIRK43_2DAE = _make_rk_dae('DIRK43_2DAE', 'DIRK43_2')
+EDIRK4DAE = _make_rk_dae('EDIRK4DAE', 'EDIRK4')

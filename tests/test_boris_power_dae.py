@@ -300,3 +300,52 @@ def test_dae_synchronous_machine():
     uend, _ = c.run(P.u_exact(0.0), 0.0, 96 / 1024)  # through t = 0.05
     assert float(uend[7]) < 1.0 - 1e-3  # rotor decelerates after torque drop
     assert bool(jnp.isfinite(uend).all())
+
+
+# -- Runge-Kutta DAE sweepers (reference projects/DAE/sweepers/rungeKuttaDAE.py,
+# order table from projects/DAE/tests/test_RungeKuttaDAE.py:98-101) ---------
+RK_DAE_ORDER = None
+
+
+def _rk_dae_err(sweeper_class, dt, t0=1.0, Tend=1.8):
+    """March the index-1 DiscontinuousTestDAE well before its event —
+    the reference's order-gate setting (test_RungeKuttaDAE.py:89-101)."""
+    from pysdc_tpu.models.dae_problems import DiscontinuousTestDAE
+
+    desc = dict(
+        problem_class=DiscontinuousTestDAE,
+        problem_params=dict(newton_tol=1e-13),
+        sweeper_class=sweeper_class,
+        sweeper_params={},
+        level_params=dict(dt=dt),
+        step_params=dict(maxiter=1),
+    )
+    c = ControllerNonMPI(1, {'logger_level': 40}, desc)
+    P = c.MS[0].levels[0].prob
+    uend, _ = c.run(P.u_exact(t0), t0, Tend)
+    return float(jnp.max(jnp.abs(uend - P.u_exact(Tend))))
+
+
+@pytest.mark.parametrize('name,expected', [
+    ('BackwardEulerDAE', 1), ('TrapezoidalRuleDAE', 2), ('DIRK43_2DAE', 3), ('EDIRK4DAE', 4),
+])
+def test_rk_dae_orders(name, expected):
+    """Classical orders of the RK-DAE family on the index-1
+    DiscontinuousTestDAE (reference test_RungeKuttaDAE.py:98-101)."""
+    import pysdc_tpu.sweepers.dae as dae_mod
+
+    cls = getattr(dae_mod, name)
+    dts = [0.1, 0.05, 0.025]
+    errs = [_rk_dae_err(cls, dt) for dt in dts]
+    orders = [np.log(errs[i] / errs[i + 1]) / np.log(2) for i in range(len(errs) - 1)]
+    order = float(np.median(orders))
+    assert order > expected - 0.4, (order, errs)
+
+
+def test_rk_dae_carries_du_between_steps():
+    """du_init must be updated from the previous step's last stage
+    (reference rungeKuttaDAE.py:164): a multi-step march stays accurate."""
+    import pysdc_tpu.sweepers.dae as dae_mod
+
+    err = _rk_dae_err(dae_mod.TrapezoidalRuleDAE, 0.05)
+    assert err < 5e-3, err

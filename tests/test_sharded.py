@@ -309,3 +309,71 @@ def test_sharded_mixed_mesh_halo_lane():
     it_sh = [v for _, v in get_sorted(s_sh, type='niter')]
     assert it_ref == it_sh, (it_ref, it_sh)
     assert float(jnp.max(jnp.abs(u_ref - u_sh))) < 1e-12
+
+
+def test_block_kernels_apply_per_step_problem_scalars():
+    """Per-step problem scalars (newton_tol) enter the batched sweep as
+    (P,)-shaped runtime arguments: each slot's result matches a standalone
+    sweep with that slot's tolerance (round-4 known limitation, closed)."""
+    from pysdc_tpu.models.odes import VanDerPol
+
+    desc = dict(
+        problem_class=VanDerPol,
+        problem_params=dict(mu=2.0, u0=(2.0, 0.0), newton_tol=1e-10, newton_maxiter=100),
+        sweeper_class=GenericImplicit,
+        sweeper_params=dict(quad_type='RADAU-RIGHT', num_nodes=3, QI='IE'),
+        level_params=dict(restol=1e-10, dt=0.05),
+        step_params=dict(maxiter=10),
+    )
+    sh = ShardedController(4, {'logger_level': 40}, desc)
+    blk = sh.blocks[0]
+    prob, sweep = blk.level.prob, blk.level.sweep
+    u0 = jnp.asarray(prob.u_exact(0.0))
+    t_arr = jnp.asarray([0.0, 0.05, 0.1, 0.15])
+    dt = 0.05
+    state = blk.predict(jnp.broadcast_to(u0, (4,) + u0.shape), t_arr, dt)
+    mask = jnp.ones((4,), bool)
+    tols = [1e-1, 1e-12, 1e-1, 1e-12]
+    out = blk.sweep(state, t_arr, dt, mask, 0, {'newton_tol': jnp.asarray(tols)})
+    for j, tol in enumerate(tols):
+        old = prob.newton_tol
+        prob.newton_tol = tol
+        ref = sweep.update_nodes(
+            prob, jax.tree_util.tree_map(lambda a: a[j], state), t_arr[j], dt, 0
+        )
+        prob.newton_tol = old
+        assert float(jnp.max(jnp.abs(out.u[j] - ref.u))) < 1e-13, j
+    # loose and tight tolerances must produce genuinely different sweeps
+    out_tight = blk.sweep(state, t_arr, dt, mask, 0, {'newton_tol': jnp.full((4,), 1e-12)})
+    assert float(jnp.max(jnp.abs(out.u[0] - out_tight.u[0]))) > 0.0
+
+
+def test_sharded_newton_inexactness_matches_virtual():
+    """End-to-end NewtonInexactness parity: the policy's per-step
+    newton_tol writes steer the batched kernels exactly as the virtual
+    controller's per-step solves (reference inexactness.py:4)."""
+    from pysdc_tpu.convergence.inexactness import NewtonInexactness
+    from pysdc_tpu.models.odes import VanDerPol
+
+    desc = dict(
+        problem_class=VanDerPol,
+        problem_params=dict(mu=2.0, u0=(2.0, 0.0), newton_tol=1e-3, newton_maxiter=100),
+        sweeper_class=GenericImplicit,
+        sweeper_params=dict(quad_type='RADAU-RIGHT', num_nodes=3, QI='IE'),
+        level_params=dict(restol=1e-9, dt=0.05),
+        step_params=dict(maxiter=30),
+        convergence_controllers={NewtonInexactness: {'ratio': 1e-2}},
+    )
+    cp = {'logger_level': 40}
+    ref = ControllerNonMPI(4, cp, desc)
+    P = ref.MS[0].levels[0].prob
+    u0 = P.u_exact(0.0)
+    u_ref, s_ref = ref.run(u0, 0.0, 0.8)
+    it_ref = [v for _, v in get_sorted(s_ref, type='niter')]
+
+    sh = ShardedController(4, cp, desc)
+    u_sh, s_sh = sh.run(u0, 0.0, 0.8, lane='stage')
+    it_sh = [v for _, v in get_sorted(s_sh, type='niter')]
+
+    assert it_ref == it_sh, f'iteration counts differ: {it_ref} vs {it_sh}'
+    assert float(jnp.max(jnp.abs(u_ref - u_sh))) < 1e-12
