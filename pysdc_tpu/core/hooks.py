@@ -226,7 +226,12 @@ class CPUTimings(Hooks):
         self._t[key] = _time.perf_counter()
 
     def _stop(self, key):
-        return _time.perf_counter() - self._t.pop(key, _time.perf_counter())
+        # unmatched stops (a post_* hook point whose pre_* never fired, e.g.
+        # predictor-internal sweeps) report 0.0 — the old pop-default form
+        # returned small NEGATIVE durations because the left operand of the
+        # subtraction is evaluated before the default timestamp
+        start = self._t.pop(key, None)
+        return 0.0 if start is None else _time.perf_counter() - start
 
     def pre_run(self, step, level_number):
         super().pre_run(step, level_number)
@@ -289,3 +294,70 @@ class CPUTimings(Hooks):
             type='timing_sweep',
             value=self._stop(('sweep', step.status.slot, level_number)),
         )
+
+
+class DeviceTimings(CPUTimings):
+    """Device-accurate per-stage timings — the TPU analog of the reference's
+    ``GPUTimings`` (implementations/hooks/log_timings.py:328-340, CUDA
+    events).  JAX dispatch is asynchronous, so plain wall-clock at a stage
+    boundary measures enqueue time, not device execution; this hook forces
+    the level's state to FINISH on device at every pre/post boundary before
+    reading the clock (``block_until_ready`` plus a scalar readback — the
+    axon tunnel can release ``block_until_ready`` early).  The stats carry
+    the same ``timing_run/step/iteration/sweep`` entry types as CPUTimings,
+    now bounding real device work per stage.
+
+    Opt-in, exactly like the reference registers GPUTimings only on GPU
+    runs: the forced syncs serialize the dispatch pipeline (the same price
+    CUDA events pay at ``synchronize``), and per-sweep syncs are
+    incompatible with the fused device-resident lanes — registering this
+    hook routes the run onto the stage machine.
+    """
+
+    def _sync(self, step, level_number):
+        if step is None:
+            return
+        try:
+            lvl = step.levels[level_number]
+        except (IndexError, TypeError):
+            return
+        state = getattr(lvl, 'state', None)
+        u = getattr(state, 'u', None) if state is not None else None
+        if u is not None:
+            import jax as _jax
+            import jax.numpy as _jnp
+
+            _jax.block_until_ready(u)
+            float(_jnp.reshape(u, (-1,))[0])  # forced device->host readback
+
+    def pre_run(self, step, level_number):
+        self._sync(step, level_number)
+        super().pre_run(step, level_number)
+
+    def post_run(self, step, level_number):
+        self._sync(step, level_number)
+        super().post_run(step, level_number)
+
+    def pre_step(self, step, level_number):
+        self._sync(step, level_number)
+        super().pre_step(step, level_number)
+
+    def post_step(self, step, level_number):
+        self._sync(step, level_number)
+        super().post_step(step, level_number)
+
+    def pre_iteration(self, step, level_number):
+        self._sync(step, level_number)
+        super().pre_iteration(step, level_number)
+
+    def post_iteration(self, step, level_number):
+        self._sync(step, level_number)
+        super().post_iteration(step, level_number)
+
+    def pre_sweep(self, step, level_number):
+        self._sync(step, level_number)
+        super().pre_sweep(step, level_number)
+
+    def post_sweep(self, step, level_number):
+        self._sync(step, level_number)
+        super().post_sweep(step, level_number)

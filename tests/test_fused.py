@@ -421,3 +421,46 @@ def test_fused_adaptive_on_device_mesh():
     for (t1, v1), (t2, v2) in zip(a, b):
         assert abs(t1 - t2) < 1e-9 and np.isclose(v1, v2, rtol=1e-7, atol=1e-12)
     assert float(jnp.max(jnp.abs(u_virt - u_mesh))) < 1e-9
+
+
+def test_lane_stats_contract():
+    """The per-lane stats contract documented in README: each lane emits
+    exactly the documented entry-type set under the default hook stack."""
+    desc = dict(
+        problem_class=HeatND,
+        problem_params=dict(nu=0.1, freq=2, nvars=[(32, 32), (16, 16)], bc='periodic'),
+        sweeper_class=GenericImplicit,
+        sweeper_params=dict(quad_type='RADAU-RIGHT', num_nodes=[3], QI='LU'),
+        level_params=dict(restol=1e-9, dt=0.05),
+        step_params=dict(maxiter=20),
+        space_transfer_params=dict(rorder=2, iorder=2, periodic=True),
+    )
+    cp = {'logger_level': 40, 'predict_type': 'pfasst_burnin'}
+    base = {'dt', 'lane', 'niter', 'residual_post_iteration', 'residual_post_step', 'restart'}
+    timings = {'timing_run', 'timing_step', 'timing_iteration'}
+    expected = {
+        'stage': base | timings | {'timing_sweep', 'residual_post_sweep'},
+        'fused': base,
+    }
+    for lane, want in expected.items():
+        c = ShardedController(2, cp, desc)
+        u0 = c.MS[0].levels[0].prob.u_exact(0.0)
+        _, stats = c.run(u0, 0.0, 0.2, lane=lane)
+        got = {k.type for k in stats}
+        assert got == want, f'{lane}: {sorted(got ^ want)}'
+
+    from pysdc_tpu.convergence.adaptivity import Adaptivity
+
+    desc_a = dict(desc, level_params=dict(restol=-1.0, dt=0.05), step_params=dict(maxiter=4),
+                  convergence_controllers={Adaptivity: {'e_tol': 1e-6}})
+    emb = {'error_embedded_estimate', 'error_embedded_estimate_post_step'}
+    expected_a = {
+        'stage': base | timings | {'timing_sweep', 'residual_post_sweep'} | emb,
+        'fused_adaptive': base | timings | emb,
+    }
+    for lane, want in expected_a.items():
+        c = ShardedController(2, cp, desc_a)
+        u0 = c.MS[0].levels[0].prob.u_exact(0.0)
+        _, stats = c.run(u0, 0.0, 0.2, lane=lane)
+        got = {k.type for k in stats}
+        assert got == want, f'adaptive-{lane}: {sorted(got ^ want)}'

