@@ -410,11 +410,23 @@ def bench_stencil_roofline(n=2048, nb=4, reps=400):
 
 
 def _coarse_chain_program(ctrl, n_chains):
-    """The Amdahl term of PFASST, as its own jitted program: the burn-in
-    wavefront plus ``n_chains`` coarse Gauss-Seidel chains.  Both are serial
-    in time-rank — on a P-chip run they do NOT divide by P (the reference's
-    own JUBE data shows efficiency decaying with time ranks for exactly this
-    reason, projects/Performance/data/bench_run_SPxTP/.../result.dat:4-8)."""
+    """The Amdahl term of PFASST, as its own jitted program: ``n_chains``
+    coarse Gauss-Seidel chains.
+
+    What counts as serial (round-5 sharpening of the round-4 split): the GS
+    chain is a P-link sequential recursion whose wall-clock does NOT divide
+    by P — in the 'diag'/'replicated' strategies every chip redundantly
+    executes the whole chain, and in 'owner' mode the non-owning chips wait
+    at the ring permute, so either way one chip's chain time IS the P-chip
+    wall time.  The burn-in wavefront, by contrast, is NOT serial compute:
+    each of its P rounds sweeps all active slots independently (data-
+    parallel over the time axis; on P chips each chip sweeps its own slot),
+    so its wall-clock divides by P like the rest of the block — only the P
+    ring-shift latencies (~µs over ICI) are serial, negligible at these
+    shapes.  The round-4 split charged the whole wavefront to the serial
+    term, overstating it ~2x.  (Reference context: efficiency decays with
+    time ranks for the chain reason,
+    projects/Performance/data/bench_run_SPxTP/.../result.dat:4-8.)"""
     import jax
     import jax.numpy as jnp
 
@@ -434,10 +446,6 @@ def _coarse_chain_program(ctrl, n_chains):
         cst = craw.predict(u0_block, t_arr, dt)
         cuend = jnp.zeros((P,) + blk.level.prob.shape, blk.level.prob.dtype)
         window = jnp.ones((P,), bool)
-
-        # burn-in wavefront, with the SAME kernel the fused lane uses
-        # (diag-basis when select_coarse_impl resolved 'diag')
-        cst, cuend = craw.wavefront_active(cst, cuend, t_arr, dt, window, P)
 
         def it(_, carry):
             cst, cuend = carry
@@ -480,11 +488,11 @@ def bench_pfasst_speedup_projected(P=8, n=512, n_coarse=256):
         problem_params=dict(nu=0.1, freq=4, nvars=[(n, n), (n_coarse, n_coarse)], bc='periodic',
                             dtype=jnp.float32),
         sweeper_class=GenericImplicit,
-        # N/2 coarsening: harder coarsening (N/4 + M-1 nodes) shrinks the
-        # chain further but costs PFASST iterations (measured: niter grows
-        # 1 -> 2..16 Gauss-Seidel-forwarded) — the diag-basis chain makes
-        # the serial term cheap enough that convergence wins the trade
-        sweeper_params=dict(quad_type='RADAU-RIGHT', num_nodes=[3], QI='LU'),
+        # N/2 + M-1 coarsening (3 -> 2 coarse nodes): keeps the measured
+        # iteration profile at [0,1,1,...] while shrinking the serialized
+        # chain ~1/3.  Harder SPACE coarsening (N/4) breaks convergence
+        # (measured: niter grows 1 -> 2..16 Gauss-Seidel-forwarded).
+        sweeper_params=dict(quad_type='RADAU-RIGHT', num_nodes=[3, 2], QI='LU'),
         # restol is reachable in float32 only under the package's full-
         # precision matmul policy (core/precision.py): default bf16 MXU
         # inputs floor the residual near 1.5e-3 and stall this config at
@@ -501,6 +509,12 @@ def bench_pfasst_speedup_projected(P=8, n=512, n_coarse=256):
 
     desc_serial = {**desc, 'problem_params': dict(desc['problem_params'])}
     desc_serial['problem_params']['nvars'] = (n, n)  # serial SDC: single level
+    # a per-level num_nodes list would otherwise build a 2-level serial
+    # hierarchy (the longest param list sets the level count)
+    desc_serial['sweeper_params'] = {
+        **desc['sweeper_params'],
+        'num_nodes': desc['sweeper_params']['num_nodes'][:1],
+    }
     serial = ShardedController(1, {'logger_level': 40}, desc_serial)
     prob = serial.MS[0].levels[0].prob
     u0 = prob.u_exact(0.0)
@@ -801,6 +815,39 @@ print(json.dumps(dict(halo_gbps=round(halo, 2), gspmd_roll_gbps=round(gspmd, 2),
         return None
 
 
+def bench_campaign_ac_1024(n=1024, dt=2e-4, n_steps=8):
+    """One campaign wall-clock on the chip: the step_25 soak's Allen-Cahn
+    contracting-circle march (1024^2 IMEX SDC, fused lane), seconds for
+    ``n_steps`` production steps — the published-numbers discipline of the
+    reference's Performance project applied to a campaign slice."""
+    import jax.numpy as jnp
+
+    from pysdc_tpu.models.allen_cahn import AllenCahnPeriodicSemiImplicitND
+    from pysdc_tpu.parallel.sharded import ShardedController
+    from pysdc_tpu.sweepers.imex import IMEXSweeper
+
+    desc = dict(
+        problem_class=AllenCahnPeriodicSemiImplicitND,
+        problem_params=dict(nvars=(n, n), eps=0.04, radius=0.25, dtype=jnp.float32),
+        sweeper_class=IMEXSweeper,
+        sweeper_params=dict(num_nodes=3, QI='LU', quad_type='RADAU-RIGHT'),
+        level_params=dict(dt=dt, restol=1e-4),
+        step_params=dict(maxiter=12),
+    )
+    c = ShardedController(1, {'logger_level': 40}, desc)
+    P = c.MS[0].levels[0].prob
+    u0 = P.u_exact(0.0)
+    c.run_fused(u0, 0.0, n_steps * dt)  # warm (compile)
+    start = time.perf_counter()
+    _, stats = c.run_fused(u0, 0.0, n_steps * dt)
+    wall = time.perf_counter() - start
+    from pysdc_tpu.utils.stats import get_sorted
+
+    iters = [v for _, v in get_sorted(stats, type='niter')]
+    return dict(wallclock_s=round(wall, 3), n_steps=n_steps, niter=iters,
+                steps_per_s=round(n_steps / wall, 2))
+
+
 def bench_scipy_reference(n=1024, M=4, iters=5):
     """Reference-equivalent sweep: CSR SpMV + splu triangular solves at the
     SAME grid size as the matched TPU measurement."""
@@ -878,6 +925,7 @@ def main():
     sparse = bench_sparse_path()
     pfasst = bench_pfasst_speedup_projected()
     adaptive = bench_adaptive_lane()
+    campaign = bench_campaign_ac_1024()
     pfasst_mesh = bench_pfasst_speedup_cpu_mesh()
     halo_mesh = bench_halo_apply_cpu_mesh()
     ref_nnz_s = bench_scipy_reference(n=matched_n)
@@ -899,6 +947,7 @@ def main():
             'sparse_path': sparse,
             'pfasst_speedup_projected': pfasst,
             'adaptive_fused_lane': adaptive,
+            'campaign_ac_1024': campaign,
             'pfasst_speedup_cpu_mesh_8dev': pfasst_mesh,
             'halo_apply_cpu_mesh_8dev': halo_mesh,
         },
