@@ -231,6 +231,13 @@ def bench_sparse_path(n=256, n_big=1024, M=4, n_sweeps=30, spmm_reps=400):
     the genuinely non-separable operator the eigen/FFT fast lane cannot
     represent (reference analog: scipy CSR + splu, generic_ND_FD.py:208-240).
 
+    Honesty note on magnitudes: fields up to ~4 MB (1024² f32 and below)
+    fit VMEM, so chained reps keep them on-chip and the small-size rates
+    (dia_256_small, sweep_matched) are VMEM-resident numbers — real
+    hardware behavior for fields that size, not HBM-streaming rates.  The
+    1024² sweep (sweep_big) interleaves FFT preconditioner solves and DIA
+    SpMVs over working sets beyond VMEM and is the scale-out figure.
+
     (a) DIA roll-based SpMV — the production eval_f (no gathers);
     (b) the Pallas BSR SpMM kernel (the dense-block-coupling lane);
     (c) the full general sweep: DIA eval_f + spectrally-preconditioned CG

@@ -140,19 +140,29 @@ class RayleighBenard(Problem):
     # -- diagnostics (reference RayleighBenard.py:417-495) ---------------
     def compute_Nusselt_numbers(self, u):
         """Nu = Lz * <vT/kappa - T_z>; conductive state gives Nu = 1
-        (reference RayleighBenard.py:417-470)."""
-        u_hat = self.spec.transform(u)
-        iv, iT = 1, 2
-        Tz_hat = jnp.tensordot(jnp.asarray(self._Dz_T, u_hat.dtype), u_hat[iT], axes=(1, 1)).T
-        vT_hat = self.spec.transform((u[iv] * u[iT])[None])[0]
-        flux_hat = (vT_hat / self.kappa - Tz_hat) * self.Lz
-        # horizontal mean = kx=0 mode; z-integral/evaluations via tau rows
-        row = jnp.asarray(self.zb.integral_row(), flux_hat.dtype)
-        integ = jnp.real(jnp.tensordot(row, flux_hat[0], axes=(0, 0))) / self.Lz
-        top_row = jnp.asarray(self.zb.dirichlet_row(self.z0 + self.Lz), flux_hat.dtype)
-        bot_row = jnp.asarray(self.zb.dirichlet_row(self.z0), flux_hat.dtype)
-        nu_top = jnp.real(jnp.tensordot(top_row, flux_hat[0], axes=(0, 0)))
-        nu_bot = jnp.real(jnp.tensordot(bot_row, flux_hat[0], axes=(0, 0)))
+        (reference RayleighBenard.py:417-470).  The whole diagnostic runs
+        as ONE jitted program returning three real scalars: the complex
+        intermediates never cross the host boundary (the axon tunnel has
+        no complex transfers, core/compat.py)."""
+        import jax as _jax
+
+        @_jax.jit
+        def _nusselt(u):
+            u_hat = self.spec.transform(u)
+            iv, iT = 1, 2
+            Tz_hat = jnp.tensordot(jnp.asarray(self._Dz_T, u_hat.dtype), u_hat[iT], axes=(1, 1)).T
+            vT_hat = self.spec.transform((u[iv] * u[iT])[None])[0]
+            flux_hat = (vT_hat / self.kappa - Tz_hat) * self.Lz
+            # horizontal mean = kx=0 mode; z-integral/evaluations via tau rows
+            row = jnp.asarray(self.zb.integral_row(), flux_hat.dtype)
+            integ = jnp.real(jnp.tensordot(row, flux_hat[0], axes=(0, 0))) / self.Lz
+            top_row = jnp.asarray(self.zb.dirichlet_row(self.z0 + self.Lz), flux_hat.dtype)
+            bot_row = jnp.asarray(self.zb.dirichlet_row(self.z0), flux_hat.dtype)
+            nu_top = jnp.real(jnp.tensordot(top_row, flux_hat[0], axes=(0, 0)))
+            nu_bot = jnp.real(jnp.tensordot(bot_row, flux_hat[0], axes=(0, 0)))
+            return integ, nu_top, nu_bot
+
+        integ, nu_top, nu_bot = _nusselt(u)
         return {'V': float(integ), 't': float(nu_top), 'b': float(nu_bot)}
 
     def compute_vorticity(self, u):
@@ -307,22 +317,30 @@ class RayleighBenard3D(Problem):
 
     def compute_Nusselt_numbers(self, u):
         """Nu = Lz * <wT/kappa - T_z>; conductive state gives 1
-        (reference RayleighBenard3D.py:303-399)."""
-        u_hat = self.spec.transform(u)
-        iw, iT = 2, 3
-        Tz_hat = self._dz(u_hat[iT])
-        wT_hat = self.spec.transform((u[iw] * u[iT])[None])[0]
-        flux_hat = (wT_hat / self.kappa - Tz_hat) * self.Lz
-        mean_flux = flux_hat[0, 0]  # (kx, ky) = (0, 0) horizontal mean
-        row = jnp.asarray(self.zb.integral_row(), flux_hat.dtype)
-        integ = jnp.real(jnp.tensordot(row, mean_flux, axes=(0, 0))) / self.Lz
-        top_row = jnp.asarray(self.zb.dirichlet_row(self.z0 + self.Lz), flux_hat.dtype)
-        bot_row = jnp.asarray(self.zb.dirichlet_row(self.z0), flux_hat.dtype)
-        return {
-            'V': float(integ),
-            't': float(jnp.real(jnp.tensordot(top_row, mean_flux, axes=(0, 0)))),
-            'b': float(jnp.real(jnp.tensordot(bot_row, mean_flux, axes=(0, 0)))),
-        }
+        (reference RayleighBenard3D.py:303-399).  One jitted program, real
+        scalars out (complex never crosses the host boundary)."""
+        import jax as _jax
+
+        @_jax.jit
+        def _nusselt(u):
+            u_hat = self.spec.transform(u)
+            iw, iT = 2, 3
+            Tz_hat = self._dz(u_hat[iT])
+            wT_hat = self.spec.transform((u[iw] * u[iT])[None])[0]
+            flux_hat = (wT_hat / self.kappa - Tz_hat) * self.Lz
+            mean_flux = flux_hat[0, 0]  # (kx, ky) = (0, 0) horizontal mean
+            row = jnp.asarray(self.zb.integral_row(), flux_hat.dtype)
+            integ = jnp.real(jnp.tensordot(row, mean_flux, axes=(0, 0))) / self.Lz
+            top_row = jnp.asarray(self.zb.dirichlet_row(self.z0 + self.Lz), flux_hat.dtype)
+            bot_row = jnp.asarray(self.zb.dirichlet_row(self.z0), flux_hat.dtype)
+            return (
+                integ,
+                jnp.real(jnp.tensordot(top_row, mean_flux, axes=(0, 0))),
+                jnp.real(jnp.tensordot(bot_row, mean_flux, axes=(0, 0))),
+            )
+
+        integ, nu_top, nu_bot = _nusselt(u)
+        return {'V': float(integ), 't': float(nu_top), 'b': float(nu_bot)}
 
     def compute_divergence(self, u):
         u_hat = self.spec.transform(u)

@@ -37,20 +37,25 @@ from pysdc_tpu.core.state import LevelState
 from pysdc_tpu.ops.qdelta import is_diagonal
 
 
-def _bcast_nodes(v, lam_ndim):
-    """(M,) node coefficients -> (M, 1, ..., 1) broadcastable over modes."""
-    return jnp.reshape(jnp.asarray(v), (-1,) + (1,) * lam_ndim)
+def _bcast_nodes(v, lam_ndim, dtype):
+    """(M,) node coefficients -> (M, 1, ..., 1) broadcastable over modes.
+
+    ``dtype`` pins the coefficient precision to the state's real dtype —
+    numpy-default f64 coefficients would otherwise promote complex64
+    states to complex128 under x64 (breaking loop-carry typing)."""
+    return jnp.reshape(jnp.asarray(v, dtype), (-1,) + (1,) * lam_ndim)
 
 
 def _one_sweep_diag(uhat, lam, dt, q, QI, tauhat):
     """One generic-implicit sweep on basis coefficients uhat (M+1, *modes)."""
     M = q.shape[0]
+    rdt = jnp.real(uhat).dtype
     fhat = lam * uhat
-    W = jnp.asarray(q - QI[1:, 1:])
+    W = jnp.asarray(q - QI[1:, 1:], rdt)
     integral = dt * jnp.tensordot(W, fhat[1:], axes=(1, 0)) + uhat[0][None] + tauhat
 
     if is_diagonal(QI):
-        qd = _bcast_nodes(np.diag(QI)[1:], lam.ndim)
+        qd = _bcast_nodes(np.diag(QI)[1:], lam.ndim, rdt)
         unew = integral / (1.0 - dt * qd * lam)
     else:
         us = []
@@ -58,8 +63,10 @@ def _one_sweep_diag(uhat, lam, dt, q, QI, tauhat):
             rhs = integral[m]
             for j in range(1, m + 1):
                 if QI[m + 1, j] != 0.0:
-                    rhs = rhs + (dt * QI[m + 1, j]) * (lam * us[j - 1])
-            alpha = QI[m + 1, m + 1]
+                    # float(): numpy scalars are strong-typed and would
+                    # promote complex64 states to complex128 under x64
+                    rhs = rhs + (dt * float(QI[m + 1, j])) * (lam * us[j - 1])
+            alpha = float(QI[m + 1, m + 1])
             us.append(rhs if alpha == 0.0 else rhs / (1.0 - dt * alpha * lam))
         unew = jnp.stack(us, axis=0)
     return jnp.concatenate([uhat[:1], unew], axis=0)

@@ -109,13 +109,17 @@ class UltrasphericalBase1D:
 
     # -- transforms ------------------------------------------------------
     def transform(self, u, axis):
+        from pysdc_tpu.core.compat import complex_asarray
+
         return jnp.moveaxis(
-            jnp.tensordot(jnp.asarray(self._fwd, u.dtype), u, axes=(1, axis)), 0, axis
+            jnp.tensordot(complex_asarray(self._fwd, u.dtype), u, axes=(1, axis)), 0, axis
         )
 
     def itransform(self, u_hat, axis):
+        from pysdc_tpu.core.compat import complex_asarray
+
         return jnp.moveaxis(
-            jnp.tensordot(jnp.asarray(self._bwd, u_hat.dtype), u_hat, axes=(1, axis)), 0, axis
+            jnp.tensordot(complex_asarray(self._bwd, u_hat.dtype), u_hat, axes=(1, axis)), 0, axis
         )
 
     def pad(self, u_hat, axis, factor):
@@ -467,11 +471,16 @@ class TensorProductSpectral:
             bc_rows[hit] = np.eye(D)
             bc_rhs[hit] = 0.0
 
-        self.L_all = jnp.asarray(L_all)
-        self.M_all = jnp.asarray(M_all)
+        # complex assemblies stay NUMPY: they embed as trace-time constants
+        # in the jitted solves — a complex DEVICE array would need a
+        # host<->device complex transfer either at setup (put) or at trace
+        # (readback for constant embedding), and the axon TPU tunnel
+        # implements neither (core/compat.py)
+        self.L_all = np.asarray(L_all)
+        self.M_all = np.asarray(M_all)
         self.keep_mask = jnp.asarray(keep)
-        self.bc_rows = jnp.asarray(bc_rows)
-        self.bc_rhs_vec = jnp.asarray(bc_rhs)
+        self.bc_rows = np.asarray(bc_rows)
+        self.bc_rhs_vec = np.asarray(bc_rhs)
 
         # natural-basis (Chebyshev-T rows) version of L, for eval_f:
         # row e is converted back by kron of inv(conv(0, lambda_{e,a}))
@@ -483,7 +492,7 @@ class TensorProductSpectral:
                 name = self.axis_names[ai]
                 S = np.kron(S, np.linalg.inv(self.bases[ai].conv_matrix(0, lam[e][name])))
             S_inv_diag[ie * cd : (ie + 1) * cd, ie * cd : (ie + 1) * cd] = S
-        self.L_natural_all = jnp.asarray(S_inv_diag[None] @ L_all)
+        self.L_natural_all = np.asarray(S_inv_diag[None] @ L_all)
 
         self._ready = True
         return self
@@ -537,9 +546,11 @@ class TensorProductSpectral:
 
     def apply_axis_matrix(self, mat, u_hat, axis):
         """Apply an (N, N) coefficient-space matrix along named ``axis``."""
+        from pysdc_tpu.core.compat import complex_asarray
+
         ax = 1 + self.axis_index(axis) if isinstance(axis, str) else axis
         return jnp.moveaxis(
-            jnp.tensordot(jnp.asarray(mat, u_hat.dtype), u_hat, axes=(1, ax)), 0, ax
+            jnp.tensordot(complex_asarray(mat, u_hat.dtype), u_hat, axes=(1, ax)), 0, ax
         )
 
     # -- the protocol used by Problem classes ------------------------------

@@ -163,9 +163,14 @@ class ParaDiagController(Controller):
             spec = PartitionSpec('time', *([None] * (x.ndim - 1)))
             return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
 
-        W_fft, W_ifft = jnp.asarray(self.W_fft), jnp.asarray(self.W_ifft)
-        S, S_inv, G_inv = jnp.asarray(self.S), jnp.asarray(self.S_inv), jnp.asarray(self.G_inv)
-        w = jnp.asarray(self.w)
+        # complex coefficient matrices stay NUMPY: they embed as trace-time
+        # constants in the jitted iteration — a pre-made complex DEVICE
+        # array would be read back to host at trace for embedding, and the
+        # axon TPU tunnel cannot transfer complex either way
+        # (core/compat.py)
+        W_fft, W_ifft = self.W_fft, self.W_ifft
+        S, S_inv, G_inv = self.S, self.S_inv, self.G_inv
+        w = self.w
 
         def eval_all(u, t_arr, dt):
             """f at all (L, M) nodes; complex state, real problems get .real."""

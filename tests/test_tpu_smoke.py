@@ -197,3 +197,59 @@ def test_dia_pallas_kernel_on_device():
     got = np.asarray(jax.jit(lambda v: dia_spmv(dia, v, Tr=32, interpret=interp))(u))
     atol = 1e-4 * float(np.max(np.abs(want)) + 1)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=atol)
+
+
+def test_spectral_family_on_device():
+    """The tensor-product spectral stack (ultraspherical x Fourier) must run
+    on the chip: the axon tunnel has NO complex host<->device transfers, so
+    all complex coefficient matrices must stay numpy (embedded as trace-time
+    constants) and diagnostics must come back as real scalars from single
+    jitted programs (core/compat.py; round-5 hardware enablement — every
+    Chebyshev/ultraspherical problem previously crashed the transfer stream
+    on real TPUs)."""
+    from pysdc_tpu.models.rayleigh_benard import RayleighBenard
+    from pysdc_tpu.parallel.nonmpi import ControllerNonMPI
+    from pysdc_tpu.sweepers.imex import IMEXSweeper
+
+    desc = dict(
+        problem_class=RayleighBenard,
+        problem_params=dict(nx=32, nz=16, Rayleigh=2e6, dtype=jnp.float32),
+        sweeper_class=IMEXSweeper,
+        sweeper_params=dict(num_nodes=2, QI='LU', quad_type='RADAU-RIGHT'),
+        level_params=dict(dt=0.02, restol=-1.0),
+        step_params=dict(maxiter=4),
+    )
+    c = ControllerNonMPI(1, {'logger_level': 40}, desc)
+    P = c.MS[0].levels[0].prob
+    uend, _ = c.run(P.u_exact(0.0, seed=99), 0.0, 0.1)
+    assert bool(jnp.isfinite(uend).all())
+    nus = P.compute_Nusselt_numbers(uend)
+    assert np.isfinite(nus['V']) and nus['V'] > 0.5
+    # follow-up transfer proves the stream was not poisoned
+    assert float(jnp.sum(jnp.ones((8,)))) == 8.0
+
+
+def test_paradiag_on_device():
+    """ParaDiag's complex coefficient matrices (weighted DFT, per-step
+    eigenvectors) embed as trace-time constants — the all-at-once iteration
+    must run on the chip."""
+    from pysdc_tpu.models.heat import HeatND
+    from pysdc_tpu.parallel.paradiag import ParaDiagController
+    from pysdc_tpu.sweepers.paradiag import QDiagonalization
+
+    desc = dict(
+        problem_class=HeatND,
+        problem_params=dict(nvars=64, nu=0.1, freq=2, bc='periodic', dtype=jnp.float32),
+        sweeper_class=QDiagonalization,
+        sweeper_params=dict(num_nodes=3, quad_type='RADAU-RIGHT'),
+        level_params=dict(dt=0.05, restol=1e-5),
+        step_params=dict(maxiter=20),
+    )
+    c = ParaDiagController(4, {'logger_level': 40, 'alpha': 1e-4}, desc)
+    P = c.template.levels[0].prob
+    uend, stats = c.run(P.u_exact(0.0), 0.0, 0.2)
+    from pysdc_tpu.utils.stats import get_sorted
+
+    err = float(jnp.max(jnp.abs(uend - P.u_exact(0.2))))
+    assert err < 1e-4, err
+    assert max(v for _, v in get_sorted(stats, type='niter')) <= 6
