@@ -92,28 +92,46 @@ def _dispatch_floor(tries=5):
     return _FLOOR[0]
 
 
-def _timed_inloop(fn, u0, R=50, tries=3):
+def _timed_inloop(fn, u0, R=None, tries=3):
     """Per-call time of ``fn(u) -> scalar``, floor-corrected: R calls
     chained INSIDE one jit program via a floating-point carry dependency
     (``u + 0*s`` — not foldable, so XLA cannot hoist or CSE the repeated
-    call), one scalar readback, minus the measured dispatch floor."""
+    call), one scalar readback, minus the measured dispatch floor.
+
+    ``R=None`` auto-scales: a pilot single-call measurement sizes R so the
+    in-program work is at least ~2x the dispatch floor — naive floor
+    subtraction on a program faster than the floor divides by ~zero (one
+    round-5 run printed 4e16 nnz/s for a VMEM-resident 256² sweep)."""
     import jax
     import jax.numpy as jnp
 
-    @jax.jit
-    def prog(u):
-        def body(i, s):
-            return fn(u + s * jnp.asarray(0.0, u.dtype))
+    def make_prog(reps):
+        @jax.jit
+        def prog(u):
+            def body(i, s):
+                return fn(u + s * jnp.asarray(0.0, u.dtype))
 
-        return jax.lax.fori_loop(0, R, body, jnp.zeros((), u.dtype))
+            return jax.lax.fori_loop(0, reps, body, jnp.zeros((), u.dtype))
 
+        return prog
+
+    floor = _dispatch_floor()
+    if R is None:
+        pilot = make_prog(1)
+        float(pilot(u0))  # warm/compile
+        start = time.perf_counter()
+        float(pilot(u0))
+        est = max(time.perf_counter() - start - floor, 1e-5)
+        R = min(max(int(2.0 * floor / est) + 1, 3), 4096)
+
+    prog = make_prog(R)
     float(prog(u0))  # warm
     best = float('inf')
     for _ in range(tries):
         start = time.perf_counter()
         float(prog(u0))
         best = min(best, time.perf_counter() - start)
-    return max(best - _dispatch_floor(), 1e-9) / R
+    return max(best - floor, best * 0.02) / R
 
 
 def bench_tpu_general(n=2048, M=4, n_sweeps=20):
@@ -262,20 +280,15 @@ def bench_sparse_path(n=256, n_big=1024, M=4, n_sweeps=30, spmm_reps=400):
     # subtracted — at round-4's 50 reps it was 60-95% of the measured time
     # and hid a 4-17x faster SpMV.
     def device_chain_rate(mv, u0, nnz_eff, reps):
-        @jax.jit
+        # axon gotcha: block_until_ready returns early through the tunnel —
+        # only a device->host scalar readback reliably stops the clock;
+        # _timed_inloop auto-repeats the whole chain when it is faster than
+        # the dispatch floor (VMEM-resident small fields)
         def chain(v):
             out = jax.lax.fori_loop(0, reps, lambda i, y: mv(y) * jnp.float32(0.5), v)
             return jnp.sum(out)
 
-        # axon gotcha: block_until_ready returns early through the tunnel —
-        # only a device->host scalar readback reliably stops the clock
-        float(chain(u0))
-        best = float('inf')
-        for _ in range(3):
-            s = time.perf_counter()
-            float(chain(u0))
-            best = min(best, time.perf_counter() - s)
-        return nnz_eff * reps / max(best - _dispatch_floor(), 1e-9)
+        return nnz_eff * reps / _timed_inloop(chain, u0)
 
     # (a) DIA SpMV — measured at PRODUCTION size (the round-3 number 0.526
     # Gnnz/s was a 256^2 matrix whose whole chained program cost less than
@@ -322,7 +335,11 @@ def bench_sparse_path(n=256, n_big=1024, M=4, n_sweeps=30, spmm_reps=400):
         lambda y: bsr_spmm(prob.A._bsr, y), u, nnz * M, spmm_reps
     )
 
-    # (c) general sweeps at matched + production sizes
+    # (c) general sweeps at matched + production sizes.  The matched-size
+    # program (256², VMEM-resident) finishes FASTER than the dispatch
+    # floor, so the whole n_sweeps chain is additionally repeated in-jit
+    # via _timed_inloop instead of naive floor subtraction (which divides
+    # by ~zero and printed 4e16 nnz/s in one round-5 run).
     def sweep_rate_at(nn):
         p = (
             prob
@@ -331,7 +348,6 @@ def bench_sparse_path(n=256, n_big=1024, M=4, n_sweeps=30, spmm_reps=400):
         )
         sweep = GenericImplicit({'num_nodes': M, 'quad_type': 'RADAU-RIGHT', 'QI': 'LU'})
 
-        @jax.jit
         def chain(state, t, dt):
             def body(_, carry):
                 s, _ = carry
@@ -342,20 +358,23 @@ def bench_sparse_path(n=256, n_big=1024, M=4, n_sweeps=30, spmm_reps=400):
             _, res = jax.lax.fori_loop(0, n_sweeps, body, (state, jnp.float32(0)))
             return res
 
+        from pysdc_tpu.core.state import LevelState
+
         dt = jnp.asarray(1e-3, jnp.float32)
         t = jnp.asarray(0.0, jnp.float32)
         X, Y = p.grids
         u0 = (jnp.sin(jnp.pi * X) * jnp.sin(jnp.pi * Y)).astype(jnp.float32)
         state = sweep.predict(p, u0, t, dt, 0.0)
-        res = [0.0]
+        res = float(jax.jit(chain)(state, t, dt))
 
-        def run():
-            res[0] = float(chain(state, t, dt))
+        def fn(u):
+            s = LevelState(u=state.u + jnp.sum(u) * 0.0, f=state.f, tau=state.tau)
+            return chain(s, t, dt)
 
-        elapsed = max(_best_of(run) - _dispatch_floor(), 1e-9)
+        elapsed = _timed_inloop(fn, u0, R=20)
         rate = M * p.A.A.nnz * n_sweeps / elapsed
         _, iters = p.A.solve_shifted_info(u0, 1e-3 * 0.3)
-        return rate, res[0], int(iters)
+        return rate, res, int(iters)
 
     rate_matched, res_matched, iters_matched = sweep_rate_at(n)
     rate_big, res_big, iters_big = sweep_rate_at(n_big)
@@ -838,7 +857,10 @@ def bench_campaign_ac_1024(n=1024, dt=2e-4, n_steps=8):
         problem_params=dict(nvars=(n, n), eps=0.04, radius=0.25, dtype=jnp.float32),
         sweeper_class=IMEXSweeper,
         sweeper_params=dict(num_nodes=3, QI='LU', quad_type='RADAU-RIGHT'),
-        level_params=dict(dt=dt, restol=1e-4),
+        # fixed-iteration production mode (the f32 residual floor of this
+        # config sits above 1e-4; the physics gates live in the step_25
+        # soak, which tracks the sharp-interface law to 0.14%)
+        level_params=dict(dt=dt, restol=-1.0),
         step_params=dict(maxiter=12),
     )
     c = ShardedController(1, {'logger_level': 40}, desc)

