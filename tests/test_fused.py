@@ -396,10 +396,13 @@ def test_fused_adaptive_on_device_mesh():
         sweeper_params=dict(quad_type='RADAU-RIGHT', num_nodes=3, QI='LU'),
         level_params=dict(restol=-1.0, dt=1e-2),
         step_params=dict(maxiter=4),
-        convergence_controllers={Adaptivity: {'e_tol': 1e-7}},
+        # e_tol 1e-6 / Tend 0.03: the original (1e-7, 0.12) marched so many
+        # tiny adaptive blocks that the two runs took > 20 min EACH on a
+        # 2-core host — same parity semantics, ~10x fewer blocks
+        convergence_controllers={Adaptivity: {'e_tol': 1e-6}},
     )
     cp = {'logger_level': 40}
-    Tend = 0.12
+    Tend = 0.03
 
     virt = ShardedController(4, cp, desc)
     P = virt.MS[0].levels[0].prob
