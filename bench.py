@@ -841,6 +841,61 @@ print(json.dumps(dict(halo_gbps=round(halo, 2), gspmd_roll_gbps=round(gspmd, 2),
         return None
 
 
+def bench_paradiag(L=8, n=512, M=3, R=20):
+    """ParaDiag all-at-once iteration rate on the chip (SURVEY P5): the
+    whole (L, M, n, n) block iteration — all-at-once residual, weighted
+    DFT in time, L*M diagonalized complex solves, iDFT — as ONE program,
+    chained R deep in-jit with the dispatch floor subtracted.  Runs on
+    hardware only since round 5 (complex-transfer rules, core/compat.py).
+    nnz accounting matches the sweep benches: one f evaluation at L*M
+    nodes per iteration."""
+    import jax
+    import jax.numpy as jnp
+
+    from pysdc_tpu.models.heat import HeatND
+    from pysdc_tpu.parallel.paradiag import ParaDiagController
+    from pysdc_tpu.sweepers.paradiag import QDiagonalization
+
+    dt = 0.01
+    desc = dict(
+        problem_class=HeatND,
+        problem_params=dict(nvars=(n, n), nu=0.1, freq=4, bc='periodic', dtype=jnp.float32),
+        sweeper_class=QDiagonalization,
+        sweeper_params=dict(num_nodes=M, quad_type='RADAU-RIGHT'),
+        level_params=dict(dt=dt, restol=1e-4),
+        step_params=dict(maxiter=10),
+    )
+    c = ParaDiagController(L, {'logger_level': 40, 'alpha': 1e-4}, desc)
+    prob = c.template.levels[0].prob
+    u0 = prob.u_exact(0.0)
+    t_arr = jnp.asarray(dt * np.arange(L), jnp.float32)
+    dtj = jnp.asarray(dt, jnp.float32)
+    u_init = c._predict(u0, t_arr, dtj)
+
+    @jax.jit
+    def chain(u_block, u0v):
+        def body(i, carry):
+            u, _ = carry
+            return c._iteration(u, u0v, t_arr, dtj)
+
+        u, res = jax.lax.fori_loop(0, R, body, (u_block, jnp.zeros((L,), jnp.float32)))
+        return jnp.max(res)
+
+    res = [0.0]
+
+    def run():
+        res[0] = float(chain(u_init, u0))
+
+    elapsed = max(_best_of(run) - _dispatch_floor(), 1e-9) / R
+    nnz_per_iter = L * M * 5 * n * n
+    return dict(
+        iter_ms=round(elapsed * 1e3, 3),
+        gnnz_s=round(nnz_per_iter / elapsed / 1e9, 3),
+        final_residual=res[0],
+        L=L, n=n,
+    )
+
+
 def bench_campaign_ac_1024(n=1024, dt=2e-4, n_steps=8):
     """One campaign wall-clock on the chip: the step_25 soak's Allen-Cahn
     contracting-circle march (1024^2 IMEX SDC, fused lane), seconds for
@@ -955,6 +1010,7 @@ def main():
     pfasst = bench_pfasst_speedup_projected()
     adaptive = bench_adaptive_lane()
     campaign = bench_campaign_ac_1024()
+    paradiag = bench_paradiag()
     pfasst_mesh = bench_pfasst_speedup_cpu_mesh()
     halo_mesh = bench_halo_apply_cpu_mesh()
     ref_nnz_s = bench_scipy_reference(n=matched_n)
@@ -977,6 +1033,7 @@ def main():
             'pfasst_speedup_projected': pfasst,
             'adaptive_fused_lane': adaptive,
             'campaign_ac_1024': campaign,
+            'paradiag_512': paradiag,
             'pfasst_speedup_cpu_mesh_8dev': pfasst_mesh,
             'halo_apply_cpu_mesh_8dev': halo_mesh,
         },
